@@ -1,0 +1,311 @@
+"""Configuration system.
+
+Real (instantiable) dataclasses mirroring every knob of the reference config
+namespaces (reference: utils/config.py:6-102, utils/conditioner_config.py:10-37),
+plus JSON round-tripping and dotted-path CLI overrides — the reference has no
+file/CLI parsing at all (SURVEY §5 "code-as-config").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class DataConfig:
+    """Reference: utils/config.py:6-21."""
+
+    dataset_dir: str = ""
+    sr: int = 48_000
+    channels: int = 2
+    min_duration: float = 0.0  # seconds
+    max_duration: float = 300.0  # seconds
+    sample_duration: float = 10.0  # seconds; sets the latent length (150 fps)
+    aug_shift: bool = True
+    batch_size: int = 3  # must be divisible by the number of tasks
+    shuffle: bool = True
+    train_test_split: float = 0.5
+    durations_path: Optional[str] = None
+    cumsum_path: Optional[str] = None
+    audio_file_txt_path: Optional[str] = None
+    # TPU-native additions: precomputed-latent directory (offline wav->latent
+    # preprocessing replaces the reference's per-item Encodec encode inside the
+    # dataloader worker, dataset/dataloader.py:108-113).
+    latents_dir: Optional[str] = None
+    num_workers: int = 0
+
+
+@dataclass
+class GDMConfig:
+    """Discrete Gaussian diffusion. Reference: utils/config.py:24-33."""
+
+    steps: int = 1000
+    noise_schedule: str = "linear"  # 'linear' | 'cosine'
+    objective: str = "v"  # 'noise' | 'x0' | 'v'
+    loss_type: str = "l2"  # 'l1' | 'l2'
+    cfg_dropout_proba: float = 0.2
+    embedding_scale: float = 0.8
+    batch_cfg: bool = True
+    scale_cfg: bool = True
+    ddim_sampling_eta: float = 1.0
+    # Bug-compat switches (see SURVEY §2.5): the reference draws *uniform*
+    # noise where Gaussian is intended (gdm.py:161,237,247) and applies CFG
+    # dropout during sampling (gdm.py:121). Defaults fix both; flip for
+    # seed-parity testing against the PyTorch reference.
+    uniform_noise_compat: bool = False
+    dropout_during_sampling: bool = False
+
+
+@dataclass
+class VDMConfig:
+    """Continuous-time trig-schedule v-diffusion. Reference: utils/config.py:36-42."""
+
+    loss_type: str = "l2"
+    cfg_dropout_proba: float = 0.2
+    embedding_scale: float = 0.8
+    batch_cfg: bool = True
+    scale_cfg: bool = True
+    # Reference computes the v-target as `noise*alpha - x_t*sigma` (vdm.py:106)
+    # where the standard target is `noise*alpha - x_start*sigma`; default is the
+    # standard target, flip for parity with the reference implementation.
+    xt_target_compat: bool = False
+    uniform_noise_compat: bool = False
+
+
+@dataclass
+class DiffusionConfig:
+    gaussian_diffusion: GDMConfig = field(default_factory=GDMConfig)
+    variational_diffusion: VDMConfig = field(default_factory=VDMConfig)
+
+
+@dataclass
+class ModelConfig:
+    """1-D UNet denoiser. Reference: utils/config.py:50-74."""
+
+    in_channels: int = 128
+    channels: int = 128
+    multipliers: Tuple[int, ...] = (1, 1, 1, 2, 2, 4, 4, 4, 8, 8)
+    factors: Tuple[int, ...] = (1, 4, 4, 4, 2, 2, 2, 2, 2)
+    num_blocks: Tuple[int, ...] = (1, 3, 3, 3, 3, 3, 3, 3, 1)
+    attentions: Tuple[int, ...] = (0, 0, 0, 1, 1, 1, 1, 1, 1)
+    patch_size: int = 1
+    resnet_groups: int = 8
+    use_context_time: bool = True
+    kernel_multiplier_downsample: int = 2
+    use_nearest_upsample: bool = False
+    use_skip_scale: bool = True
+    use_snake: bool = False
+    use_stft: bool = False
+    use_stft_context: bool = False
+    use_xattn_time: bool = True
+    out_channels: int = 128
+    context_features: Optional[int] = None
+    context_features_multiplier: int = 4
+    context_channels: Tuple[int, ...] = (129,)  # masked_input(128) + mask(1)
+    context_embedding_features: int = 1024
+    context_embedding_max_length: int = 128
+    attention_heads: int = 8
+    attention_features: Optional[int] = None
+    attention_multiplier: int = 1
+    stft_num_fft: int = 1023
+    stft_hop_length: int = 256
+    # TPU-native knobs
+    dtype: str = "bfloat16"  # compute dtype; params are always fp32
+    use_flash_attention: bool = True  # Pallas kernel for long sequences
+    flash_min_seq_len: int = 512  # below this, plain XLA attention wins
+    # The reference applies the *same* 1x1 conv before and after each
+    # Transformer1d's blocks (tied weights — blocks.py:510,531,536). Default
+    # unties them; enable for torch-checkpoint import parity.
+    tie_transformer_projections: bool = False
+    remat: bool = False  # jax.checkpoint each down/up block (memory for FLOPs)
+
+
+@dataclass
+class OptimizerConfig:
+    """Reference: utils/config.py:77-82 and train.py:56-60,84."""
+
+    lr: float = 3e-5
+    beta_1: float = 0.9
+    beta_2: float = 0.95
+    weight_decay: float = 0.1
+    grad_clip: float = 0.7
+    # torch.optim.lr_scheduler.LinearLR defaults (train.py:84): warm from
+    # lr*start_factor to lr*end_factor over total_iters optimizer steps.
+    lr_start_factor: float = 1.0 / 3.0
+    lr_end_factor: float = 1.0
+    lr_total_iters: int = 5
+
+
+@dataclass
+class T5Config:
+    """Reference: utils/conditioner_config.py:10-15."""
+
+    id: str = "prompt"
+    t5_model_name: str = "google/flan-t5-large"
+    max_length: int = 128
+    project_out: bool = True
+    # Local path to converted weights (no-egress environments can't download).
+    weights_path: Optional[str] = None
+
+
+@dataclass
+class IntConfig:
+    id: str = "seconds_start"
+    min_val: int = 0
+    max_val: int = 512
+
+
+@dataclass
+class NumberConfig:
+    id: str = "seconds_total"
+    min_val: float = 0
+    max_val: float = 512
+
+
+@dataclass
+class ConditionerConfig:
+    """Reference: utils/conditioner_config.py:30-37.
+
+    Note the reference factory returns inside its loop so only the first
+    conditioner type is ever built (utils/script_util.py:156-178); here all
+    requested conditioners are instantiated (SURVEY §2.5 #4, fixed).
+    """
+
+    cond_dim: int = 1024
+    default_keys: Dict[str, str] = field(default_factory=dict)
+    conditioning_type: Tuple[str, ...] = ("t5", "int", "number")
+    t5_config: T5Config = field(default_factory=T5Config)
+    int_config: IntConfig = field(default_factory=IntConfig)
+    number_config: NumberConfig = field(default_factory=NumberConfig)
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh layout. The reference supports only DDP (train.py:30,88-89);
+
+    here data parallelism is the first-class axis, with room for tensor/
+    sequence axes (SURVEY §2.2 'TPU-native equivalent')."""
+
+    dp: int = -1  # -1: all devices
+    tp: int = 1
+    mesh_axis_names: Tuple[str, ...] = ("dp", "tp")
+
+
+@dataclass
+class Config:
+    """Root config. Reference: utils/config.py:85-102."""
+
+    save_dir: str = ""
+    log_dir: str = ""
+    use_ddp: bool = False  # kept for parity; superseded by `parallel`
+    use_fp16: bool = True  # on TPU this selects bf16 compute
+    use_ema: bool = False
+    ema_decay: float = 0.999
+    is_finetuning: bool = False
+    seed: int = 4996
+    tasks: Tuple[str, ...] = ("text_guided", "music_inpaint", "music_cont")
+    num_epoch: int = 100
+    eval_interval: int = 30
+    grad_accum_every: int = 10
+    diffusion_type: str = "gdm"  # 'gdm' | 'vdm'
+    dataset_config: DataConfig = field(default_factory=DataConfig)
+    diffusion_config: DiffusionConfig = field(default_factory=DiffusionConfig)
+    model_config: ModelConfig = field(default_factory=ModelConfig)
+    optimizer_config: OptimizerConfig = field(default_factory=OptimizerConfig)
+    conditioner_config: ConditionerConfig = field(default_factory=ConditionerConfig)
+    parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
+
+    # ---------------------------------------------------------------- io
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: Optional[str] = None) -> str:
+        text = json.dumps(self.to_dict(), indent=2, default=str)
+        if path is not None:
+            with open(path, "w") as f:
+                f.write(text)
+        return text
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        return _dataclass_from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def override(self, **dotted: Any) -> "Config":
+        """Apply dotted-path overrides, e.g. override(**{"model_config.channels": 64})."""
+        d = self.to_dict()
+        for key, value in dotted.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = value
+        return Config.from_dict(d)
+
+
+def _dataclass_from_dict(cls, d):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    hints = {f.name: f for f in dataclasses.fields(cls)}
+    for name, f in hints.items():
+        if name not in d:
+            continue
+        value = d[name]
+        ftype = f.type
+        origin = getattr(ftype, "__origin__", None)
+        if dataclasses.is_dataclass(_resolve(ftype)) and isinstance(value, dict):
+            kwargs[name] = _dataclass_from_dict(_resolve(ftype), value)
+        elif isinstance(value, list) and origin is tuple:
+            kwargs[name] = tuple(value)
+        elif isinstance(value, list) and _is_tuple_annotation(ftype):
+            kwargs[name] = tuple(value)
+        else:
+            kwargs[name] = value
+    return cls(**kwargs)
+
+
+def _resolve(tp):
+    """Resolve string annotations from `from __future__ import annotations`."""
+    if isinstance(tp, str):
+        return globals().get(tp.split("[")[0], tp)
+    return tp
+
+
+def _is_tuple_annotation(tp) -> bool:
+    return isinstance(tp, str) and tp.startswith("Tuple")
+
+
+def tiny_test_config() -> Config:
+    """A miniature config for fast hermetic tests (same topology, tiny dims)."""
+    cfg = Config()
+    cfg.model_config = ModelConfig(
+        in_channels=8,
+        channels=8,
+        multipliers=(1, 2, 2, 4),
+        factors=(2, 2, 2),
+        num_blocks=(1, 1, 1),
+        attentions=(0, 1, 1),
+        resnet_groups=2,
+        context_channels=(9,),
+        context_embedding_features=16,
+        context_embedding_max_length=6,
+        attention_heads=2,
+        attention_multiplier=1,
+        out_channels=8,
+        dtype="float32",
+        use_flash_attention=False,
+    )
+    cfg.diffusion_config.gaussian_diffusion.steps = 8
+    cfg.conditioner_config.cond_dim = 16
+    cfg.dataset_config.batch_size = 3
+    cfg.grad_accum_every = 1
+    return cfg

@@ -1,0 +1,414 @@
+"""Discrete-time Gaussian diffusion (DDPM ancestral + DDIM sampling).
+
+TPU-native rebuild of the reference GaussianDiffusion
+(jen1/diffusion/gdm/gdm.py:14-272): same buffer precomputation, objectives
+('noise' | 'x0' | 'v'), losses (l1/l2), classifier-free-guidance plumbing, and
+sampler math — but as pure functions over a `model_fn` closure, with both
+samplers expressed as `lax.scan` so the full trajectory compiles into one
+XLA program (no per-step host sync).
+
+Deliberate divergences (each gated by a compat flag, SURVEY §2.5):
+  #1  q_sample / training noise is Gaussian (reference draws uniform noise via
+      torch.rand_like at gdm.py:161,237,247). `uniform_noise_compat=True`
+      restores the reference distribution for parity testing.
+  #2  CFG dropout is OFF during sampling (reference threads its training
+      dropout probability into sampling model calls, gdm.py:121).
+      `dropout_during_sampling=True` restores it.
+  #3  p_sample_loop threads `causal` (reference drops it, gdm.py:166-179).
+
+All arrays are channels-last (B, L, C).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ModelFn = Callable[..., jnp.ndarray]
+Conditioning = Dict[str, Any]
+
+
+def _extract(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather per-timestep scalars and reshape for broadcasting over (B, ...)."""
+    out = table[t]
+    return out.reshape(out.shape[0], *((1,) * (ndim - 1)))
+
+
+class GaussianDiffusion:
+    def __init__(
+        self,
+        *,
+        steps: int,
+        betas: np.ndarray,
+        objective: str,
+        loss_type: str,
+        alphas: Optional[np.ndarray] = None,
+        cfg_dropout_proba: float = 0.1,
+        embedding_scale: float = 0.8,
+        batch_cfg: bool = False,
+        scale_cfg: bool = False,
+        sampling_timesteps: Optional[int] = None,
+        ddim_sampling_eta: float = 1.0,
+        uniform_noise_compat: bool = False,
+        dropout_during_sampling: bool = False,
+    ):
+        assert objective in {"noise", "x0", "v"}
+        assert loss_type in {"l1", "l2"}
+        self.objective = objective
+        self.loss_type = loss_type
+        self.cfg_dropout_proba = float(cfg_dropout_proba)
+        self.embedding_scale = float(embedding_scale)
+        self.batch_cfg = bool(batch_cfg)
+        self.scale_cfg = bool(scale_cfg)
+        self.uniform_noise_compat = uniform_noise_compat
+        self.dropout_during_sampling = dropout_during_sampling
+
+        self.num_timesteps = int(steps)
+        self.sampling_timesteps = (
+            int(sampling_timesteps) if sampling_timesteps is not None else steps
+        )
+        assert self.sampling_timesteps <= self.num_timesteps
+        self.is_ddim_sampling = self.sampling_timesteps < self.num_timesteps
+        self.ddim_sampling_eta = float(ddim_sampling_eta)
+
+        betas = np.asarray(betas, dtype=np.float64)
+        assert betas.ndim == 1 and (betas > 0).all() and (betas <= 1).all()
+        alphas = 1.0 - betas if alphas is None else np.asarray(alphas, np.float64)
+        alphas_cumprod = np.cumprod(alphas)
+        alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
+
+        as32 = lambda a: jnp.asarray(a, dtype=jnp.float32)  # noqa: E731
+        self.betas = as32(betas)
+        self.alphas_cumprod = as32(alphas_cumprod)
+        self.alphas_cumprod_prev = as32(alphas_cumprod_prev)
+        self.sqrt_alphas_cumprod = as32(np.sqrt(alphas_cumprod))
+        self.sqrt_one_minus_alphas_cumprod = as32(np.sqrt(1.0 - alphas_cumprod))
+        self.log_one_minus_alphas_cumprod = as32(np.log(1.0 - alphas_cumprod))
+        self.sqrt_recip_alphas_cumprod = as32(np.sqrt(1.0 / alphas_cumprod))
+        self.sqrt_recipm1_alphas_cumprod = as32(np.sqrt(1.0 / alphas_cumprod - 1.0))
+        posterior_variance = (
+            betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        )
+        self.posterior_variance = as32(posterior_variance)
+        self.posterior_log_variance_clipped = as32(
+            np.log(
+                np.concatenate([[posterior_variance[1]], posterior_variance[1:]])
+            )
+        )
+        self.posterior_mean_coef1 = as32(
+            betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        )
+        self.posterior_mean_coef2 = as32(
+            (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+        )
+
+    # ------------------------------------------------------------- noise
+
+    def _noise_like(self, rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+        if self.uniform_noise_compat:
+            return jax.random.uniform(rng, x.shape, jnp.float32)
+        return jax.random.normal(rng, x.shape, jnp.float32)
+
+    # --------------------------------------------------- forward process
+
+    def q_sample(
+        self, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray
+    ) -> jnp.ndarray:
+        nd = x_start.ndim
+        return (
+            _extract(self.sqrt_alphas_cumprod, t, nd) * x_start
+            + _extract(self.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+        )
+
+    def predict_start_from_noise(self, x_t, t, noise):
+        nd = x_t.ndim
+        return (
+            _extract(self.sqrt_recip_alphas_cumprod, t, nd) * x_t
+            - _extract(self.sqrt_recipm1_alphas_cumprod, t, nd) * noise
+        )
+
+    def predict_noise_from_start(self, x_t, t, x0):
+        nd = x_t.ndim
+        return (
+            _extract(self.sqrt_recip_alphas_cumprod, t, nd) * x_t - x0
+        ) / _extract(self.sqrt_recipm1_alphas_cumprod, t, nd)
+
+    def predict_start_from_v(self, x_t, t, v):
+        nd = x_t.ndim
+        return (
+            _extract(self.sqrt_alphas_cumprod, t, nd) * x_t
+            - _extract(self.sqrt_one_minus_alphas_cumprod, t, nd) * v
+        )
+
+    def q_posterior(self, x_start, x_t, t):
+        nd = x_t.ndim
+        mean = (
+            _extract(self.posterior_mean_coef1, t, nd) * x_start
+            + _extract(self.posterior_mean_coef2, t, nd) * x_t
+        )
+        variance = _extract(self.posterior_variance, t, nd)
+        log_variance = _extract(self.posterior_log_variance_clipped, t, nd)
+        return mean, variance, log_variance
+
+    # ------------------------------------------------------- model call
+
+    def _call_model(
+        self,
+        model_fn: ModelFn,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        conditioning: Conditioning,
+        *,
+        causal: bool,
+        rng: Optional[jax.Array],
+        dropout: bool,
+    ) -> jnp.ndarray:
+        """Forward the denoiser with CFG plumbing (gdm.py:117-125)."""
+        concat = conditioning.get("input_concat_cond")
+        return model_fn(
+            x,
+            t,
+            embedding=conditioning["cross_attn_cond"],
+            embedding_mask=conditioning.get("cross_attn_masks"),
+            embedding_scale=self.embedding_scale,
+            embedding_mask_proba=self.cfg_dropout_proba if dropout else 0.0,
+            features=conditioning.get("global_cond"),
+            channels_list=[concat] if concat is not None else None,
+            batch_cfg=self.batch_cfg,
+            scale_cfg=self.scale_cfg,
+            causal=causal,
+            rng=rng,
+        )
+
+    def model_predictions(
+        self,
+        model_fn: ModelFn,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        conditioning: Conditioning,
+        *,
+        clip_x_start: bool = False,
+        causal: bool = False,
+        rng: Optional[jax.Array] = None,
+        dropout: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        model_out = self._call_model(
+            model_fn, x, t, conditioning, causal=causal, rng=rng, dropout=dropout
+        ).astype(jnp.float32)
+        clip = (lambda a: jnp.clip(a, -1.0, 1.0)) if clip_x_start else (lambda a: a)
+
+        if self.objective == "noise":
+            pred_noise = model_out
+            x_start = clip(self.predict_start_from_noise(x, t, pred_noise))
+        elif self.objective == "x0":
+            x_start = clip(model_out)
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
+        else:  # 'v'
+            x_start = clip(self.predict_start_from_v(x, t, model_out))
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
+        return pred_noise, x_start
+
+    # ----------------------------------------------------------- losses
+
+    def training_losses(
+        self,
+        model_fn: ModelFn,
+        x_start: jnp.ndarray,
+        t: jnp.ndarray,
+        conditioning: Conditioning,
+        rng: jax.Array,
+        *,
+        noise: Optional[jnp.ndarray] = None,
+        causal: bool = False,
+    ) -> jnp.ndarray:
+        """Diffusion loss (reference `training_loosses`, gdm.py:245-272)."""
+        rng_noise, rng_cfg = jax.random.split(rng)
+        if noise is None:
+            noise = self._noise_like(rng_noise, x_start)
+        x_t = self.q_sample(x_start, t, noise)
+        model_out = self._call_model(
+            model_fn, x_t, t, conditioning, causal=causal, rng=rng_cfg, dropout=True
+        ).astype(jnp.float32)
+
+        nd = x_start.ndim
+        if self.objective == "noise":
+            target = noise
+        elif self.objective == "x0":
+            target = x_start
+        else:  # 'v'
+            target = (
+                _extract(self.sqrt_alphas_cumprod, t, nd) * noise
+                - _extract(self.sqrt_one_minus_alphas_cumprod, t, nd) * x_start
+            )
+
+        err = model_out - target
+        per_ex = (
+            jnp.mean(jnp.abs(err), axis=tuple(range(1, nd)))
+            if self.loss_type == "l1"
+            else jnp.mean(jnp.square(err), axis=tuple(range(1, nd)))
+        )
+        return jnp.mean(per_ex)
+
+    # --------------------------------------------------------- samplers
+
+    def _init_audio(self, rng, shape, init_data):
+        audio = jax.random.normal(rng, shape, jnp.float32)
+        if init_data is not None:
+            audio = audio + init_data.astype(jnp.float32)
+        return audio
+
+    def ddim_sample(
+        self,
+        model_fn: ModelFn,
+        shape: Tuple[int, ...],
+        conditioning: Conditioning,
+        rng: jax.Array,
+        *,
+        causal: bool = False,
+        init_data: Optional[jnp.ndarray] = None,
+        clip_denoised: bool = True,
+        return_all_timesteps: bool = False,
+    ) -> jnp.ndarray:
+        """DDIM sampler (gdm.py:181-225) as one lax.scan."""
+        batch = shape[0]
+        eta = self.ddim_sampling_eta
+
+        times = np.linspace(
+            -1, self.num_timesteps - 1, num=self.sampling_timesteps + 1
+        ).astype(np.int32)[::-1]
+        time_pairs = jnp.asarray(
+            np.stack([times[:-1], times[1:]], axis=1)
+        )  # (S, 2)
+
+        rng_init, rng_loop = jax.random.split(rng)
+        audio0 = self._init_audio(rng_init, shape, init_data)
+
+        # Extend tables so gathering index -1 is safe (never used: guarded by
+        # the time_next < 0 select below).
+        acp = self.alphas_cumprod
+
+        def body(carry, inputs):
+            audio, step = carry
+            time, time_next = inputs[0], inputs[1]
+            step_rng = jax.random.fold_in(rng_loop, step)
+            rng_cfg, rng_noise = jax.random.split(step_rng)
+            time_cond = jnp.full((batch,), time, dtype=jnp.int32)
+            pred_noise, x_start = self.model_predictions(
+                model_fn,
+                audio,
+                time_cond,
+                conditioning,
+                clip_x_start=clip_denoised,
+                causal=causal,
+                rng=rng_cfg,
+                dropout=self.dropout_during_sampling,
+            )
+            alpha = acp[time]
+            alpha_next = acp[jnp.maximum(time_next, 0)]
+            sigma = eta * jnp.sqrt(
+                (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+            )
+            c = jnp.sqrt(1 - alpha_next - sigma**2)
+            noise = jax.random.normal(rng_noise, audio.shape, jnp.float32)
+            stepped = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+            new_audio = jnp.where(time_next < 0, x_start, stepped)
+            return (new_audio, step + 1), (new_audio if return_all_timesteps else 0)
+
+        (audio, _), traj = jax.lax.scan(body, (audio0, 0), time_pairs)
+        if return_all_timesteps:
+            return jnp.concatenate([audio0[None], traj], axis=0)
+        return audio
+
+    def p_sample_loop(
+        self,
+        model_fn: ModelFn,
+        shape: Tuple[int, ...],
+        conditioning: Conditioning,
+        rng: jax.Array,
+        *,
+        causal: bool = False,
+        init_data: Optional[jnp.ndarray] = None,
+        clip_denoised: bool = True,
+        return_all_timesteps: bool = False,
+    ) -> jnp.ndarray:
+        """Ancestral DDPM sampler (gdm.py:153-179) as one lax.scan."""
+        batch = shape[0]
+        rng_init, rng_loop = jax.random.split(rng)
+        audio0 = self._init_audio(rng_init, shape, init_data)
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+
+        def body(audio, t):
+            step_rng = jax.random.fold_in(rng_loop, t)
+            rng_cfg, rng_noise = jax.random.split(step_rng)
+            time_cond = jnp.full((batch,), t, dtype=jnp.int32)
+            _, x_start = self.model_predictions(
+                model_fn,
+                audio,
+                time_cond,
+                conditioning,
+                clip_x_start=clip_denoised,
+                causal=causal,
+                rng=rng_cfg,
+                dropout=self.dropout_during_sampling,
+            )
+            mean, _, log_var = self.q_posterior(x_start, audio, time_cond)
+            noise = self._noise_like(rng_noise, audio)
+            noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+            new_audio = mean + jnp.exp(0.5 * log_var) * noise
+            return new_audio, (new_audio if return_all_timesteps else 0)
+
+        audio, traj = jax.lax.scan(body, audio0, ts)
+        if return_all_timesteps:
+            return jnp.concatenate([audio0[None], traj], axis=0)
+        return audio
+
+    def sample(
+        self,
+        model_fn: ModelFn,
+        shape: Tuple[int, ...],
+        conditioning: Conditioning,
+        rng: jax.Array,
+        *,
+        causal: bool = False,
+        init_data: Optional[jnp.ndarray] = None,
+        return_all_timesteps: bool = False,
+    ) -> jnp.ndarray:
+        """Dispatch DDIM iff sampling_timesteps < steps (gdm.py:227-230)."""
+        fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
+        return fn(
+            model_fn,
+            shape,
+            conditioning,
+            rng,
+            causal=causal,
+            init_data=init_data,
+            return_all_timesteps=return_all_timesteps,
+        )
+
+
+def create_gaussian_diffusion(
+    gdm_config, sampling_steps: Optional[int] = None
+) -> GaussianDiffusion:
+    """Factory (reference: utils/script_util.py:216-249)."""
+    from jen1_tpu.diffusion.schedules import get_beta_schedule
+
+    betas, alphas = get_beta_schedule(gdm_config.noise_schedule, gdm_config.steps)
+    return GaussianDiffusion(
+        steps=gdm_config.steps,
+        betas=betas,
+        alphas=alphas,
+        objective=gdm_config.objective,
+        loss_type=gdm_config.loss_type,
+        cfg_dropout_proba=gdm_config.cfg_dropout_proba,
+        embedding_scale=gdm_config.embedding_scale,
+        batch_cfg=gdm_config.batch_cfg,
+        scale_cfg=gdm_config.scale_cfg,
+        sampling_timesteps=sampling_steps,
+        ddim_sampling_eta=gdm_config.ddim_sampling_eta,
+        uniform_noise_compat=gdm_config.uniform_noise_compat,
+        dropout_during_sampling=gdm_config.dropout_during_sampling,
+    )

@@ -1,0 +1,186 @@
+"""GDM/VDM math identities + end-to-end tiny sampling via lax.scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jen1_tpu.config import tiny_test_config
+from jen1_tpu.diffusion.gdm import GaussianDiffusion, create_gaussian_diffusion
+from jen1_tpu.diffusion.schedules import get_beta_schedule
+from jen1_tpu.diffusion.vdm import VDM, alpha_sigma
+from jen1_tpu.models.unet import unet_from_model_config
+
+
+def make_gdm(objective="v", steps=16, sampling=None, **kw):
+    betas, _ = get_beta_schedule("cosine", steps)  # linear overflows beta<=1 for tiny step counts
+    return GaussianDiffusion(
+        steps=steps, betas=betas, objective=objective, loss_type="l2",
+        sampling_timesteps=sampling, **kw)
+
+
+class TestGDMMath:
+    def test_q_sample_noise_roundtrip(self):
+        gdm = make_gdm("noise")
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.normal(size=(2, 8, 4)), jnp.float32)
+        noise = jnp.asarray(rng.normal(size=(2, 8, 4)), jnp.float32)
+        t = jnp.asarray([3, 12])
+        xt = gdm.q_sample(x0, t, noise)
+        rec = gdm.predict_start_from_noise(xt, t, noise)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), rtol=1e-4, atol=1e-4)
+
+    def test_v_objective_identities(self):
+        gdm = make_gdm("v")
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(rng.normal(size=(2, 8, 4)), jnp.float32)
+        noise = jnp.asarray(rng.normal(size=(2, 8, 4)), jnp.float32)
+        t = jnp.asarray([5, 9])
+        xt = gdm.q_sample(x0, t, noise)
+        # true v
+        from jen1_tpu.diffusion.gdm import _extract
+        v = (_extract(gdm.sqrt_alphas_cumprod, t, 3) * noise
+             - _extract(gdm.sqrt_one_minus_alphas_cumprod, t, 3) * x0)
+        rec = gdm.predict_start_from_v(xt, t, v)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), rtol=1e-4, atol=1e-4)
+        n_rec = gdm.predict_noise_from_start(xt, t, rec)
+        np.testing.assert_allclose(np.asarray(n_rec), np.asarray(noise), rtol=1e-3, atol=1e-3)
+
+    def test_posterior_shapes(self):
+        gdm = make_gdm()
+        x = jnp.ones((2, 8, 4))
+        t = jnp.asarray([1, 2])
+        mean, var, logvar = gdm.q_posterior(x, x, t)
+        assert mean.shape == x.shape
+        assert var.shape == (2, 1, 1)
+
+    def test_ddim_dispatch(self):
+        assert make_gdm(sampling=8, steps=16).is_ddim_sampling
+        assert not make_gdm(sampling=16, steps=16).is_ddim_sampling
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_test_config()
+    mc = cfg.model_config
+    model = unet_from_model_config(mc)
+    B, L, C = 3, 48, 8
+    x = jnp.ones((B, L, C))
+    t = jnp.zeros((B,))
+    emb = jnp.ones((B, mc.context_embedding_max_length, mc.context_embedding_features))
+    mask = jnp.ones((B, mc.context_embedding_max_length), bool)
+    ch = jnp.ones((B, L, 9))
+    params = model.init(jax.random.PRNGKey(0), x, t, embedding=emb,
+                        embedding_mask=mask, channels_list=[ch], causal=False)
+
+    def model_fn(x, t, **kw):
+        return model.apply(params, x, t, **kw)
+
+    cond = {
+        "cross_attn_cond": emb,
+        "cross_attn_masks": mask,
+        "global_cond": None,
+        "input_concat_cond": ch,
+    }
+    return model_fn, cond, (B, L, C)
+
+
+class TestSamplers:
+    def test_ddim_sample_runs(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=16, sampling=4,
+                       embedding_scale=0.8, batch_cfg=True, scale_cfg=True)
+        out = jax.jit(
+            lambda rng: gdm.sample(model_fn, shape, cond, rng, causal=False)
+        )(jax.random.PRNGKey(1))
+        assert out.shape == shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_ddpm_loop_runs(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("noise", steps=4, sampling=4)
+        out = jax.jit(
+            lambda rng: gdm.sample(model_fn, shape, cond, rng, causal=True)
+        )(jax.random.PRNGKey(2))
+        assert out.shape == shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_ddim_deterministic_given_rng(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=16, sampling=4, ddim_sampling_eta=0.0)
+        f = jax.jit(lambda rng: gdm.ddim_sample(model_fn, shape, cond, rng))
+        a = f(jax.random.PRNGKey(3))
+        b = f(jax.random.PRNGKey(3))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = f(jax.random.PRNGKey(4))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_training_losses_finite_and_grad(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=16, embedding_scale=0.8, batch_cfg=True,
+                       cfg_dropout_proba=0.2)
+        x0 = jax.random.normal(jax.random.PRNGKey(5), shape)
+        t = jnp.asarray([1, 7, 15])
+        loss = jax.jit(
+            lambda x: gdm.training_losses(model_fn, x, t, cond,
+                                          jax.random.PRNGKey(6), causal=False)
+        )(x0)
+        assert np.isfinite(float(loss))
+
+    def test_return_all_timesteps(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=16, sampling=3)
+        out = jax.jit(
+            lambda rng: gdm.ddim_sample(model_fn, shape, cond, rng,
+                                        return_all_timesteps=True)
+        )(jax.random.PRNGKey(7))
+        assert out.shape == (4, *shape)
+
+
+class TestVDM:
+    def test_alpha_sigma(self):
+        a, s = alpha_sigma(jnp.asarray([0.0, 0.5, 1.0]))
+        np.testing.assert_allclose(np.asarray(a), [1.0, np.cos(np.pi / 4), 0.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s), [0.0, np.sin(np.pi / 4), 1.0], atol=1e-6)
+
+    def test_q_sample_identity_at_zero(self):
+        vdm = VDM(loss_type="l2")
+        x0 = jnp.ones((2, 4, 3)) * 2.0
+        noise = jnp.ones((2, 4, 3))
+        xt, a, s = vdm.q_sample(x0, jnp.zeros((2,)), noise)
+        np.testing.assert_allclose(np.asarray(xt), np.asarray(x0), atol=1e-6)
+
+    def test_sampler_runs(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        vdm = VDM(loss_type="l2", embedding_scale=0.8, batch_cfg=True, scale_cfg=True)
+        out = jax.jit(
+            lambda rng: vdm.sample(model_fn, shape, cond, rng, step=3)
+        )(jax.random.PRNGKey(8))
+        assert out.shape == shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_training_losses(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        vdm = VDM(loss_type="l2", cfg_dropout_proba=0.2, embedding_scale=0.8,
+                  batch_cfg=True)
+        x0 = jax.random.normal(jax.random.PRNGKey(9), shape)
+        loss = jax.jit(
+            lambda x: vdm.training_losses(model_fn, x, cond, jax.random.PRNGKey(10))
+        )(x0)
+        assert np.isfinite(float(loss))
+
+    def test_perfect_model_denoises(self):
+        """With a model that returns the exact v, one step to t=0 recovers x0."""
+        vdm = VDM(loss_type="l2")
+        rng = np.random.default_rng(11)
+        x0 = jnp.asarray(rng.normal(size=(1, 6, 2)), jnp.float32)
+        noise = jnp.asarray(rng.normal(size=(1, 6, 2)), jnp.float32)
+
+        def perfect_model(x, t, **kw):
+            a, s = alpha_sigma(t[0])
+            return a * noise - s * x0  # true v at time t
+
+        xt, _, _ = vdm.q_sample(x0, jnp.asarray([0.7]), noise)
+        a, s = alpha_sigma(jnp.asarray(0.7))
+        x_pred = a * xt - s * perfect_model(xt, jnp.asarray([0.7]))
+        np.testing.assert_allclose(np.asarray(x_pred), np.asarray(x0), atol=1e-5)

@@ -1,0 +1,111 @@
+"""UNetCFG1d structural/behavioral tests on a tiny config (jitted)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jen1_tpu.config import tiny_test_config
+from jen1_tpu.models.unet import unet_from_model_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    model = unet_from_model_config(cfg.model_config)
+    B, L, C = 3, 48, 8
+    mc = cfg.model_config
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, L, C)), jnp.float32)
+    t = jnp.linspace(0.1, 0.9, B)
+    emb = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, mc.context_embedding_max_length,
+                                               mc.context_embedding_features)),
+        jnp.float32)
+    mask = jnp.ones((B, mc.context_embedding_max_length), bool)
+    ch = jnp.asarray(np.random.default_rng(2).normal(size=(B, L, 9)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, embedding=emb,
+                        embedding_mask=mask, channels_list=[ch], causal=False)
+    return cfg, model, params, (x, t, emb, mask, ch)
+
+
+def _apply(model, params, x, t, emb, mask, ch, **kw):
+    fn = jax.jit(
+        lambda p, x_, t_, e_, m_, c_: model.apply(
+            p, x_, t_, embedding=e_, embedding_mask=m_, channels_list=[c_], **kw))
+    return fn(params, x, t, emb, mask, ch)
+
+
+def test_output_shape_both_directions(setup):
+    cfg, model, params, (x, t, emb, mask, ch) = setup
+    for causal in (False, True):
+        out = _apply(model, params, x, t, emb, mask, ch,
+                     embedding_scale=0.8, batch_cfg=True, scale_cfg=True,
+                     causal=causal)
+        assert out.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_causal_variants_differ(setup):
+    cfg, model, params, (x, t, emb, mask, ch) = setup
+    a = _apply(model, params, x, t, emb, mask, ch, causal=False)
+    b = _apply(model, params, x, t, emb, mask, ch, causal=True)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cfg_paths_consistent(setup):
+    """batch_cfg (one doubled pass) must equal the two-pass CFG exactly."""
+    cfg, model, params, (x, t, emb, mask, ch) = setup
+    a = _apply(model, params, x, t, emb, mask, ch,
+               embedding_scale=0.8, batch_cfg=True, causal=False)
+    b = _apply(model, params, x, t, emb, mask, ch,
+               embedding_scale=0.8, batch_cfg=False, causal=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_cfg_scale_one_is_plain_forward(setup):
+    cfg, model, params, (x, t, emb, mask, ch) = setup
+    a = _apply(model, params, x, t, emb, mask, ch, embedding_scale=1.0)
+    b = _apply(model, params, x, t, emb, mask, ch)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_conditioning_affects_output(setup):
+    cfg, model, params, (x, t, emb, mask, ch) = setup
+    a = _apply(model, params, x, t, emb, mask, ch)
+    b = _apply(model, params, x, t, emb * 2.0 + 1.0, mask, ch)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    c = _apply(model, params, x, t, emb, mask, ch * 0.0)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_non_divisible_length(setup):
+    """Lengths that don't divide the factor product exercise crop alignment."""
+    cfg, model, params, (x, t, emb, mask, ch) = setup
+    B = x.shape[0]
+    for L2 in (50, 45):
+        x2 = jnp.ones((B, L2, x.shape[-1]))
+        ch2 = jnp.ones((B, L2, 9))
+        out = _apply(model, params, x2, t, emb, mask, ch2)
+        assert out.shape == x2.shape
+
+
+def test_bf16_forward(setup):
+    cfg, model, params, (x, t, emb, mask, ch) = setup
+    out = _apply(model, params, x.astype(jnp.bfloat16), t,
+                 emb.astype(jnp.bfloat16), mask, ch.astype(jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_grad_flows(setup):
+    cfg, model, params, (x, t, emb, mask, ch) = setup
+
+    def loss(p):
+        out = model.apply(p, x, t, embedding=emb, embedding_mask=mask,
+                          channels_list=[ch], causal=False)
+        return jnp.mean(out**2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    norms = [float(jnp.linalg.norm(v)) for v in jax.tree.leaves(g)]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) > len(norms) * 0.9
