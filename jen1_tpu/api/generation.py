@@ -1,0 +1,290 @@
+"""Jen1 text-to-music inference API.
+
+Signature-compatible rebuild of the reference Jen1 (generation.py:17-213):
+`Jen1(ckpt_path).generate(prompt, seed, steps, batch_size, seconds, use_gdm,
+task, init_audio, init_audio_sr, inpainting_scope)` -> waveform tensor in the
+reference's (B, channels, samples) layout.
+
+TPU-first differences:
+  * model + diffusion are built once and cached per (steps, use_gdm) — the
+    reference reconstructs the model and re-reads the checkpoint on every
+    generate() call (generation.py:83 -> 36-74);
+  * the sampling loop is a jit-compiled lax.scan on device; the codec decode
+    runs on device too (the reference hops to CPU first, generation.py:129);
+  * checkpoints load from either this framework's orbax layout or a reference
+    .pth via the torch importer (ckpt/torch_import.py);
+  * fixes reference quirks #8 (SURVEY §2.5): `flag`/`sample_length` are
+    defined on every path and init-audio rank is checked with ndim.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jen1_tpu.config import Config
+from jen1_tpu.conditioning.conditioners import (
+    assemble_conditioning,
+    create_multi_conditioner,
+)
+from jen1_tpu.diffusion.gdm import create_gaussian_diffusion
+from jen1_tpu.diffusion.vdm import create_variational_diffusion
+from jen1_tpu.models.unet import unet_from_model_config
+
+
+class Jen1:
+    def __init__(
+        self,
+        ckpt_path: Optional[str],
+        sample_rate: int = 48_000,
+        cross_attn_cond_ids=("prompt",),
+        global_cond_ids=(),
+        input_concat_ids=("masked_input", "mask"),
+        config: Optional[Config] = None,
+        codec=None,
+        conditioner=None,
+    ):
+        self.ckpt_path = ckpt_path
+        self.sample_rate = sample_rate
+        self.config = config or Config()
+        self.cross_attn_cond_ids = tuple(cross_attn_cond_ids)
+        self.global_cond_ids = tuple(global_cond_ids)
+        self.input_concat_ids = tuple(input_concat_ids)
+        self.conditioner = conditioner or create_multi_conditioner(
+            self.config.conditioner_config
+        )
+        if codec is None:
+            from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
+
+            codec = EncodecModel(encodec_48khz_config())
+        self.codec = codec
+        self.compute_dtype = (
+            jnp.bfloat16
+            if self.config.model_config.dtype == "bfloat16"
+            else jnp.float32
+        )
+        self.model = unet_from_model_config(self.config.model_config)
+        self._params = None
+        self._diffusion_cache: Dict[Tuple[int, bool], Any] = {}
+        self._sample_cache: Dict[Any, Any] = {}
+
+    # ----------------------------------------------------------- weights
+
+    def _load_params(self, latent_len: int):
+        if self._params is not None:
+            return self._params
+        mc = self.config.model_config
+        if self.ckpt_path is None:
+            # random init (hermetic smoke / pre-training usage)
+            b, l = 1, latent_len
+            self._params = jax.jit(
+                lambda r: self.model.init(
+                    r,
+                    jnp.zeros((b, l, mc.in_channels)),
+                    jnp.zeros((b,), jnp.float32),
+                    embedding=jnp.zeros(
+                        (b, mc.context_embedding_max_length,
+                         mc.context_embedding_features)
+                    ),
+                    embedding_mask=jnp.ones(
+                        (b, mc.context_embedding_max_length), bool
+                    ),
+                    channels_list=[jnp.zeros((b, l, mc.in_channels + 1))],
+                    causal=False,
+                )
+            )(jax.random.PRNGKey(self.config.seed))
+        elif str(self.ckpt_path).endswith((".pth", ".pt", ".bin")):
+            from jen1_tpu.ckpt.torch_import import load_reference_checkpoint
+
+            self._params, _, _ = load_reference_checkpoint(self.ckpt_path, mc)
+        else:
+            from jen1_tpu.ckpt.checkpoint import CheckpointManager
+
+            mngr = CheckpointManager(self.ckpt_path)
+            restored = mngr.restore()
+            assert restored is not None, f"no checkpoint in {self.ckpt_path}"
+            state, _ = restored
+            params = state["params"] if "params" in state else state
+            self._params = {"params": params}
+        return self._params
+
+    def _get_diffusion(self, steps: int, use_gdm: bool):
+        key = (steps, use_gdm)
+        if key not in self._diffusion_cache:
+            if use_gdm:
+                self._diffusion_cache[key] = create_gaussian_diffusion(
+                    self.config.diffusion_config.gaussian_diffusion,
+                    sampling_steps=steps,
+                )
+            else:
+                self._diffusion_cache[key] = create_variational_diffusion(
+                    self.config.diffusion_config.variational_diffusion
+                )
+        return self._diffusion_cache[key]
+
+    # ---------------------------------------------------------- generate
+
+    def generate(
+        self,
+        prompt: str,
+        seed: int = -1,
+        steps: int = 100,
+        batch_size: int = 1,
+        seconds: float = 30,
+        use_gdm: bool = False,
+        task: str = "text_guided",
+        init_audio=None,
+        init_audio_sr: Optional[int] = None,
+        inpainting_scope: Optional[Tuple[float, float]] = None,
+        decode: bool = True,
+    ):
+        """Returns waveform (B, channels, samples) float32 (or the latent
+        (B, 128, frames) when decode=False)."""
+        seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
+        rng = jax.random.PRNGKey(seed)
+        channels = self.codec.config.channels
+        hop = self.codec.config.hop_length
+        sample_length = int(seconds * self.sample_rate)
+
+        no_init = init_audio is None
+        if no_init:
+            init_audio = np.zeros((batch_size, sample_length, channels), np.float32)
+            init_audio_sr = self.sample_rate
+        else:
+            init_audio = np.asarray(init_audio, np.float32)
+            if init_audio.ndim == 2:  # (T, ch) -> batch
+                init_audio = np.repeat(init_audio[None], batch_size, axis=0)
+            from jen1_tpu.data.audio_io import convert_audio
+
+            init_audio = np.stack(
+                [
+                    convert_audio(a, init_audio_sr or self.sample_rate,
+                                  self.sample_rate, channels)
+                    for a in init_audio
+                ]
+            )
+
+        # task semantics over waveform samples (generation.py:97-110)
+        if task == "text_guided":
+            mask = self._get_mask(sample_length, 0.0, seconds, batch_size,
+                                  self.sample_rate)
+            causal = False
+        elif task == "music_inpaint":
+            assert inpainting_scope is not None, "music_inpaint needs inpainting_scope"
+            mask = self._get_mask(
+                sample_length, inpainting_scope[0], inpainting_scope[1],
+                batch_size, self.sample_rate,
+            )
+            causal = False
+            if init_audio.shape[1] < sample_length:
+                pad = sample_length - init_audio.shape[1]
+                init_audio = np.pad(init_audio, ((0, 0), (0, pad), (0, 0)))
+            init_audio = init_audio[:, :sample_length]
+        elif task == "music_cont":
+            cont_start = init_audio.shape[1]
+            mask = self._get_mask(
+                sample_length, cont_start / self.sample_rate, seconds,
+                batch_size, self.sample_rate,
+            )
+            cont_len = sample_length - cont_start
+            # The reference multiplies its noise tail by the mask, which is 0
+            # over the to-generate region (generation.py:107-109) — the tail
+            # is effectively zeros; made explicit here.
+            tail = np.zeros((batch_size, cont_len, channels), np.float32)
+            init_audio = np.concatenate([init_audio, tail], axis=1)
+            causal = True
+        else:
+            raise ValueError(f"unknown task: {task}")
+
+        # encode init audio to the latent space (reference get_emb)
+        init_emb = self.codec.encode_latent(jnp.asarray(init_audio))
+        latent_len = init_emb.shape[1]
+        latent_dim = init_emb.shape[2]
+
+        # nearest-resize the waveform mask to latent frames (generation.py:117)
+        idx = np.clip(
+            (np.arange(latent_len) * (sample_length / latent_len)).astype(np.int64),
+            0,
+            sample_length - 1,
+        )
+        latent_mask = jnp.asarray(mask[:, idx, :])  # (B, F, 1)
+        masked_emb = init_emb * latent_mask
+
+        params = self._load_params(latent_len)
+        cond_out = self.conditioner([{"prompt": prompt} for _ in range(batch_size)])
+        cond_dict = dict(cond_out)
+        cond_dict["masked_input"] = masked_emb.astype(self.compute_dtype)
+        cond_dict["mask"] = latent_mask.astype(self.compute_dtype)
+        conditioning = assemble_conditioning(
+            cond_dict,
+            cross_attn_cond_ids=self.cross_attn_cond_ids,
+            global_cond_ids=self.global_cond_ids,
+            input_concat_ids=self.input_concat_ids,
+        )
+
+        diffusion = self._get_diffusion(steps, use_gdm)
+        compute_dtype = self.compute_dtype
+        model = self.model
+
+        def model_fn(x, t, **kw):
+            kw["embedding"] = kw["embedding"].astype(compute_dtype)
+            chl = kw.get("channels_list")
+            if chl is not None:
+                kw["channels_list"] = [c.astype(compute_dtype) for c in chl]
+            out = model.apply(params, x.astype(compute_dtype), t, **kw)
+            return out.astype(jnp.float32)
+
+        shape = (batch_size, latent_len, latent_dim)
+        init_data = None if no_init else init_emb
+
+        if use_gdm:
+            sample_fn = jax.jit(
+                lambda r, c, i: diffusion.sample(
+                    model_fn, shape, c, r, causal=causal, init_data=i
+                )
+            )
+        else:
+            sample_fn = jax.jit(
+                lambda r, c, i: diffusion.sample(
+                    model_fn, shape, c, r, step=steps, causal=causal, init_data=i
+                )
+            )
+        latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
+
+        if not decode:
+            return np.asarray(latents).transpose(0, 2, 1)  # (B, 128, F)
+        audio = self.codec.decode_latent(latents)
+        return np.asarray(audio).transpose(0, 2, 1)  # (B, ch, T)
+
+    @staticmethod
+    def _get_mask(
+        sample_length: int,
+        start_sec: float,
+        end_sec: float,
+        batch_size: int,
+        sr: int = 48_000,
+    ) -> np.ndarray:
+        """1 = keep, 0 = to-generate, over waveform samples (generation.py:134-143).
+        Returns (B, T, 1)."""
+        mask = np.ones((sample_length,), np.float32)
+        lo = int(math.floor(start_sec * sr))
+        hi = int(math.ceil(end_sec * sr))
+        mask[lo:hi] = 0.0
+        return np.broadcast_to(
+            mask[None, :, None], (batch_size, sample_length, 1)
+        ).copy()
+
+
+def save_audio(audio, file_path: str, sample_rate: int = 48_000) -> None:
+    """Save (B, ch, T) / (ch, T) float audio to 16-bit WAV
+    (reference save_audio_tensor, generation.py:194-213)."""
+    from jen1_tpu.data.audio_io import write_wav
+
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim == 3:
+        audio = audio[0]
+    write_wav(file_path, audio.T, sample_rate)

@@ -1,0 +1,341 @@
+"""EncodecModel: encoder + RVQ + decoder with 48 kHz segmentation semantics.
+
+Mirrors the capability surface the reference uses (generation.py:34,113,130;
+dataset/dataloader.py:106-114):
+
+  encode_latent(audio)   — audio -> continuous RVQ-bottlenecked latent,
+                           the reference's get_emb (encode -> codes ->
+                           quantizer.decode)
+  decode_latent(latent)  — decoder applied directly to continuous latents
+                           (the reference calls `audio_encoder.decoder`)
+  encode(audio)          — full EnCodec-48k semantics: 1 s segments with 1%
+                           overlap, per-segment volume normalization, codes
+                           + scales per frame
+  decode(frames)         — segment decode + linear overlap-add
+
+Layout: audio is (B, T, channels) channels-last; the `Jen1` API converts
+from the reference's (B, C, T) at the boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jen1_tpu.codec.rvq import ResidualVectorQuantizer
+from jen1_tpu.codec.seanet import SEANetDecoder, SEANetEncoder
+
+
+@dataclasses.dataclass
+class EncodecConfig:
+    sample_rate: int = 48_000
+    channels: int = 2
+    dimension: int = 128
+    n_filters: int = 32
+    ratios: Tuple[int, ...] = (8, 5, 4, 2)
+    n_q: int = 16
+    bins: int = 1024
+    causal: bool = False
+    norm: str = "time_group_norm"
+    normalize: bool = True
+    segment: Optional[float] = 1.0  # seconds
+    overlap: float = 0.01
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.ratios:
+            out *= r
+        return out
+
+    @property
+    def frame_rate(self) -> float:
+        return self.sample_rate / self.hop_length
+
+
+def encodec_48khz_config() -> EncodecConfig:
+    return EncodecConfig()
+
+
+class EncodecModel:
+    def __init__(
+        self,
+        config: EncodecConfig,
+        params: Optional[dict] = None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.encoder = SEANetEncoder(
+            channels=config.channels,
+            dimension=config.dimension,
+            n_filters=config.n_filters,
+            ratios=config.ratios,
+            causal=config.causal,
+            norm=config.norm,
+        )
+        self.decoder = SEANetDecoder(
+            channels=config.channels,
+            dimension=config.dimension,
+            n_filters=config.n_filters,
+            ratios=config.ratios,
+            causal=config.causal,
+            norm=config.norm,
+        )
+        if params is None:
+            seg = int(config.sample_rate * 0.1)
+            enc_params = self.encoder.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, seg, config.channels), jnp.float32),
+            )
+            dec_params = self.decoder.init(
+                jax.random.PRNGKey(seed + 1),
+                jnp.zeros(
+                    (1, seg // config.hop_length, config.dimension), jnp.float32
+                ),
+            )
+            rvq = ResidualVectorQuantizer.random_init(
+                n_q=config.n_q, bins=config.bins, dim=config.dimension, seed=seed
+            )
+            params = {
+                "encoder": enc_params,
+                "decoder": dec_params,
+                "codebooks": rvq.codebooks,
+            }
+        self.params = params
+        self.quantizer = ResidualVectorQuantizer(
+            params["codebooks"], frame_rate=config.frame_rate
+        )
+        self._encode_jit = jax.jit(
+            lambda p, a: self.encoder.apply(p["encoder"], a)
+        )
+        self._decode_jit = jax.jit(
+            lambda p, z: self.decoder.apply(p["decoder"], z)
+        )
+        self._quantize_jit = jax.jit(
+            lambda p, z: ResidualVectorQuantizer(
+                p["codebooks"], frame_rate=config.frame_rate
+            ).quantize_latent(z)
+        )
+
+    # ------------------------------------------------------------ direct
+
+    def encode_latent(
+        self, audio: jnp.ndarray, quantize: bool = True
+    ) -> jnp.ndarray:
+        """audio (B, T, ch) -> continuous latent (B, T/hop, D).
+
+        With quantize=True this is exactly the reference's get_emb path
+        (encode -> RVQ codes -> quantizer.decode), run whole-clip (no
+        segmentation) for a static-shape on-device graph."""
+        z = self._encode_jit(self.params, audio)
+        if quantize:
+            z = self._quantize_jit(self.params, z)
+        return z
+
+    def decode_latent(self, latent: jnp.ndarray) -> jnp.ndarray:
+        """latent (B, F, D) -> audio (B, F*hop, ch) (reference decoder call)."""
+        return self._decode_jit(self.params, latent)
+
+    # --------------------------------------------------------- segmented
+
+    def _segment_bounds(self, total: int) -> List[Tuple[int, int]]:
+        cfg = self.config
+        if cfg.segment is None:
+            return [(0, total)]
+        seg_len = int(cfg.segment * cfg.sample_rate)
+        stride = max(1, int((1.0 - cfg.overlap) * seg_len))
+        bounds = []
+        for start in range(0, total, stride):
+            bounds.append((start, min(start + seg_len, total)))
+            if start + seg_len >= total:
+                break
+        return bounds
+
+    def encode(self, audio: jnp.ndarray):
+        """Full EnCodec semantics: per-segment (codes (B, n_q, F), scale)."""
+        cfg = self.config
+        frames = []
+        for start, end in self._segment_bounds(audio.shape[1]):
+            seg = audio[:, start:end]
+            scale = None
+            if cfg.normalize:
+                mono = jnp.mean(seg, axis=-1, keepdims=True)
+                volume = jnp.sqrt(jnp.mean(jnp.square(mono), axis=1, keepdims=True))
+                scale = 1e-8 + volume  # (B, 1, 1)
+                seg = seg / scale
+            z = self._encode_jit(self.params, seg)
+            codes = self.quantizer.encode(z)
+            frames.append((codes, scale))
+        return frames
+
+    def decode(self, frames) -> jnp.ndarray:
+        """Segment decode + linear overlap-add (EnCodec _linear_overlap_add)."""
+        cfg = self.config
+        seg_len = (
+            int(cfg.segment * cfg.sample_rate) if cfg.segment else None
+        )
+        stride = (
+            max(1, int((1.0 - cfg.overlap) * seg_len)) if seg_len else None
+        )
+        pieces = []
+        for codes, scale in frames:
+            z = self.quantizer.decode(codes)
+            audio = self._decode_jit(self.params, z)
+            if scale is not None:
+                audio = audio * scale
+            pieces.append(audio)
+        if len(pieces) == 1:
+            return pieces[0]
+        return _linear_overlap_add(pieces, stride)
+
+    def codes_to_latent(self, codes: jnp.ndarray) -> jnp.ndarray:
+        return self.quantizer.decode(codes)
+
+
+def _linear_overlap_add(pieces: List[jnp.ndarray], stride: int) -> jnp.ndarray:
+    """Triangular-window overlap-add over equal-stride segments."""
+    total = stride * (len(pieces) - 1) + pieces[-1].shape[1]
+    b, _, c = pieces[0].shape
+    out = jnp.zeros((b, total, c), jnp.float32)
+    norm = jnp.zeros((1, total, 1), jnp.float32)
+    for i, piece in enumerate(pieces):
+        l = piece.shape[1]
+        t = jnp.linspace(0.0, 1.0, l + 2)[1:-1]
+        weight = 0.5 - jnp.abs(t - 0.5)
+        w = weight[None, :, None]
+        start = i * stride
+        out = out.at[:, start : start + l].add(piece * w)
+        norm = norm.at[:, start : start + l].add(w)
+    return out / jnp.maximum(norm, 1e-12)
+
+
+# ----------------------------------------------------------------- convert
+
+
+def convert_torch_encodec(state_dict, config: EncodecConfig) -> dict:
+    """Map the facebookresearch/encodec 48 kHz torch state_dict to our params.
+
+    The torch model stores weight-normalized convs for some variants
+    (weight_g/weight_v); those are fused into plain kernels here. Layout:
+      encoder.model.{idx}... / decoder.model.{idx}... / quantizer.vq.layers.{i}
+    with idx enumerating the nn.Sequential: conv, resblocks, downsamples,
+    lstm, final conv.
+    """
+    import numpy as np
+
+    def arr(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    def conv_kernel(prefix):
+        sd = state_dict
+        if f"{prefix}.conv.weight_v" in sd:
+            v = arr(sd[f"{prefix}.conv.weight_v"])
+            g = arr(sd[f"{prefix}.conv.weight_g"])
+            norm = np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))
+            w = g * v / np.maximum(norm, 1e-12)
+        else:
+            w = arr(sd[f"{prefix}.conv.weight"])
+        b = arr(sd[f"{prefix}.conv.bias"])
+        # torch conv weight (Cout, Cin, K) -> ours (K, Cin, Cout)
+        return w.transpose(2, 1, 0), b
+
+    def convtr_kernel(prefix):
+        sd = state_dict
+        if f"{prefix}.convtr.weight_v" in sd:
+            v = arr(sd[f"{prefix}.convtr.weight_v"])
+            g = arr(sd[f"{prefix}.convtr.weight_g"])
+            norm = np.sqrt((v**2).sum(axis=(0, 2), keepdims=True))
+            w = g * v / np.maximum(norm, 1e-12)
+        else:
+            w = arr(sd[f"{prefix}.convtr.weight"])
+        b = arr(sd[f"{prefix}.convtr.bias"])
+        # torch convtr weight (Cin, Cout, K) -> ours (K, Cin, Cout)
+        return w.transpose(2, 0, 1), b
+
+    def norm_params(prefix):
+        sd = state_dict
+        key = f"{prefix}.norm.weight"
+        if key not in sd:
+            return None
+        return {"scale": arr(sd[key]), "bias": arr(sd[f"{prefix}.norm.bias"])}
+
+    def sconv(prefix):
+        k, b = conv_kernel(f"{prefix}.conv")
+        p = {"kernel": k, "bias": b}
+        n = norm_params(f"{prefix}.conv")
+        if n is not None:
+            p["norm"] = n
+        return p
+
+    def sconvtr(prefix):
+        k, b = convtr_kernel(f"{prefix}.convtr")
+        p = {"kernel": k, "bias": b}
+        n = norm_params(f"{prefix}.convtr")
+        if n is not None:
+            p["norm"] = n
+        return p
+
+    n_stages = len(config.ratios)
+
+    def lstm_params(prefix, hidden):
+        p = {}
+        for layer in range(2):
+            p[f"l{layer}_w_ih"] = arr(
+                state_dict[f"{prefix}.lstm.weight_ih_l{layer}"]
+            ).T
+            p[f"l{layer}_w_hh"] = arr(
+                state_dict[f"{prefix}.lstm.weight_hh_l{layer}"]
+            ).T
+            p[f"l{layer}_b_ih"] = arr(state_dict[f"{prefix}.lstm.bias_ih_l{layer}"])
+            p[f"l{layer}_b_hh"] = arr(state_dict[f"{prefix}.lstm.bias_hh_l{layer}"])
+        return p
+
+    def resblock(prefix):
+        return {
+            "conv1": sconv(f"{prefix}.block.1"),
+            "conv2": sconv(f"{prefix}.block.3"),
+            "shortcut": sconv(f"{prefix}.shortcut"),
+        }
+
+    # encoder.model indices: 0 conv_in; per stage: res, (elu), down at
+    # 1 + 3*si and 3 + 3*si; then lstm at 1+3*n; elu; conv_out at 3+3*n
+    enc = {"conv_in": sconv("encoder.model.0")}
+    for si in range(n_stages):
+        enc[f"stage{si}_res0"] = resblock(f"encoder.model.{1 + 3 * si}")
+        enc[f"stage{si}_down"] = sconv(f"encoder.model.{3 + 3 * si}")
+    enc["lstm"] = lstm_params(
+        f"encoder.model.{1 + 3 * n_stages}", config.n_filters * 2**n_stages
+    )
+    enc["conv_out"] = sconv(f"encoder.model.{3 + 3 * n_stages}")
+
+    # decoder.model indices: 0 conv_in; 1 lstm; per stage: elu, up, res at
+    # 3+3*si and 4+3*si; elu; conv_out at 2 + 3*n_stages + 1
+    dec = {
+        "conv_in": sconv("decoder.model.0"),
+        "lstm": lstm_params("decoder.model.1", config.n_filters * 2**n_stages),
+    }
+    for si in range(n_stages):
+        dec[f"stage{si}_up"] = sconvtr(f"decoder.model.{3 + 3 * si}")
+        dec[f"stage{si}_res0"] = resblock(f"decoder.model.{4 + 3 * si}")
+    dec["conv_out"] = sconv(f"decoder.model.{2 + 3 * n_stages + 1}")
+
+    codebooks = np.stack(
+        [
+            arr(state_dict[f"quantizer.vq.layers.{i}._codebook.embed"])
+            for i in range(config.n_q)
+        ]
+    )
+
+    to_jnp = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    return {
+        "encoder": {"params": to_jnp(enc)},
+        "decoder": {"params": to_jnp(dec)},
+        "codebooks": jnp.asarray(codebooks),
+    }
+

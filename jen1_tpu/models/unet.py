@@ -438,8 +438,13 @@ class UNetCFG1d(nn.Module):
             if scale_cfg:
                 # std over the channel axis (torch dim=1 == channels in BCL;
                 # channels are axis -1 here), matching model.py:364-369.
-                out_std = jnp.std(out.astype(jnp.float32), axis=-1, keepdims=True)
-                cfg_std = jnp.std(out_cfg.astype(jnp.float32), axis=-1, keepdims=True)
+                # ddof=1: torch Tensor.std applies Bessel's correction.
+                out_std = jnp.std(
+                    out.astype(jnp.float32), axis=-1, keepdims=True, ddof=1
+                )
+                cfg_std = jnp.std(
+                    out_cfg.astype(jnp.float32), axis=-1, keepdims=True, ddof=1
+                )
                 rescaled = out_cfg.astype(jnp.float32) * (out_std / cfg_std)
                 mixed = scale_phi * rescaled + (1.0 - scale_phi) * out_cfg.astype(
                     jnp.float32

@@ -97,8 +97,10 @@ class Attention(nn.Module):
         is_cross = context is not None
         ctx = context if is_cross else x
 
+        # The reference always applies a SEPARATE norm to the k/v input, even
+        # for self-attention where context == x (blocks.py:400-401,427).
         x = LayerNorm(name="norm")(x)
-        ctx = LayerNorm(name="norm_context")(ctx) if is_cross else x
+        ctx = LayerNorm(name="norm_context")(ctx)
 
         q = Linear(mid, use_bias=False, name="to_q")(x)
         kv = Linear(2 * mid, use_bias=False, name="to_kv")(ctx)

@@ -1,0 +1,187 @@
+"""Training entrypoint.
+
+Rebuild of reference train.py:14-131 (per-rank setup + training launch),
+mesh-native: one process drives all local devices via jax.sharding (the
+reference mp.spawn/DDP/NCCL stack — broken as written, SURVEY §2.2 — is
+replaced by dp-sharded batches; multi-host runs call
+`jax.distributed.initialize()` first).
+
+CLI: python -m jen1_tpu.train.train --config config.json [--latents-dir ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from jen1_tpu.ckpt.checkpoint import CheckpointManager
+from jen1_tpu.conditioning.conditioners import create_multi_conditioner
+from jen1_tpu.config import Config
+from jen1_tpu.data.dataset import (
+    LatentDataset,
+    MusicDataset,
+    make_dataloader,
+    train_test_split,
+)
+from jen1_tpu.diffusion.gdm import create_gaussian_diffusion
+from jen1_tpu.diffusion.vdm import create_variational_diffusion
+from jen1_tpu.models.unet import unet_from_model_config
+from jen1_tpu.parallel.mesh import make_mesh
+from jen1_tpu.train.optim import make_lr_schedule
+from jen1_tpu.train.trainer import UnifiedMultiTaskTrainer
+from jen1_tpu.utils.logger import MetricLogger, get_logger
+
+
+def build_trainer(config: Config, mesh=None, conditioner=None):
+    model = unet_from_model_config(config.model_config)
+    if config.diffusion_type == "gdm":
+        diffusion = create_gaussian_diffusion(
+            config.diffusion_config.gaussian_diffusion
+        )
+    else:
+        diffusion = create_variational_diffusion(
+            config.diffusion_config.variational_diffusion
+        )
+    if conditioner is None:
+        conditioner = create_multi_conditioner(config.conditioner_config)
+    return UnifiedMultiTaskTrainer(
+        config, model, diffusion, conditioner=conditioner, mesh=mesh
+    )
+
+
+def run(config: Config, distributed: bool = False, max_steps: Optional[int] = None):
+    if distributed:
+        jax.distributed.initialize()
+
+    logger = get_logger(config.log_dir)
+    metrics_logger = MetricLogger(config.log_dir)
+    pc = config.parallel_config
+    mesh = make_mesh(dp=pc.dp, tp=pc.tp)
+    logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    dc = config.dataset_config
+    if dc.latents_dir:
+        dataset = LatentDataset(dc.latents_dir)
+    else:
+        dataset = MusicDataset(
+            dataset_dir=dc.dataset_dir,
+            sr=dc.sr,
+            channels=dc.channels,
+            min_duration=dc.min_duration,
+            max_duration=dc.max_duration,
+            sample_duration=dc.sample_duration,
+            aug_shift=dc.aug_shift,
+            durations_path=dc.durations_path,
+            cumsum_path=dc.cumsum_path,
+            audio_file_txt_path=dc.audio_file_txt_path,
+        )
+    train_ds, val_ds = train_test_split(dataset, dc.train_test_split, config.seed)
+    logger.info(f"dataset: {len(train_ds)} train / {len(val_ds)} val windows")
+    if len(train_ds) < dc.batch_size:
+        raise ValueError(
+            f"train split has {len(train_ds)} windows < batch_size "
+            f"{dc.batch_size}: with drop_last the loader would yield nothing"
+        )
+
+    trainer = build_trainer(config, mesh=mesh)
+    ckpt = CheckpointManager(config.save_dir) if config.save_dir else None
+    lr_schedule = make_lr_schedule(config.optimizer_config)
+
+    # resume (reference train.py:63-81)
+    state = None
+    start_step = 0
+    train_iter = make_dataloader(
+        train_ds, dc.batch_size, shuffle=dc.shuffle, seed=config.seed,
+        epochs=config.num_epoch,
+    )
+    host_rng = np.random.default_rng(config.seed)
+    rng = jax.random.PRNGKey(config.seed)
+
+    best_val = float("inf")
+    for step_idx, (latents, metadata) in enumerate(train_iter):
+        if dc.latents_dir is None:
+            # raw audio -> on-device latent encode, batched
+            from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
+
+            if not hasattr(run, "_codec"):
+                run._codec = EncodecModel(encodec_48khz_config())
+            latents = np.asarray(run._codec.encode_latent(latents))
+        batch = trainer.prepare_batch(latents, metadata)
+        if state is None:
+            state = trainer.init_state(jax.random.PRNGKey(config.seed), batch)
+            if ckpt is not None and ckpt.latest_step() is not None:
+                restored, meta = ckpt.restore(template=state)
+                state = restored
+                start_step = int(state.step)
+                logger.info(f"resumed from step {start_step}")
+        t0 = time.time()
+        state, m = trainer.train_step(
+            state, batch, jax.random.fold_in(rng, step_idx), host_rng
+        )
+        step = int(state.step)
+        if step_idx % max(1, config.grad_accum_every) == 0:
+            scalars = {k: float(v) for k, v in m.items()}
+            scalars["step_time"] = time.time() - t0
+            scalars["lr"] = float(lr_schedule(step // config.grad_accum_every))
+            metrics_logger.log(step, scalars)
+            logger.info(
+                f"step {step} loss {scalars['loss/train']:.4f} "
+                f"({scalars['step_time']:.2f}s)"
+            )
+        if config.eval_interval and step and step % config.eval_interval == 0:
+            val_iter = make_dataloader(
+                val_ds, dc.batch_size, shuffle=False, epochs=1, prefetch=0
+            )
+            def encoded_val():
+                for lat, meta in val_iter:
+                    if dc.latents_dir is None:
+                        lat = np.asarray(run._codec.encode_latent(lat))
+                    yield lat, meta
+            val_metrics = trainer.evaluate(state, encoded_val(), rng)
+            metrics_logger.log(step, val_metrics)
+            val_loss = val_metrics.get("loss/val", float("inf"))
+            if ckpt is not None and val_loss < best_val:
+                best_val = val_loss
+                ckpt.save(step, state, loss=val_loss,
+                          learning_rate=config.optimizer_config.lr)
+                logger.info(f"saved best checkpoint at step {step} (val {val_loss:.4f})")
+        if max_steps is not None and step_idx + 1 >= max_steps:
+            break
+
+    metrics_logger.close()
+    return state
+
+
+def main():
+    from jen1_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="JSON config path")
+    p.add_argument("--latents-dir", default=None)
+    p.add_argument("--dataset-dir", default=None)
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--distributed", action="store_true")
+    args = p.parse_args()
+
+    config = Config.from_json(args.config) if args.config else Config()
+    if args.latents_dir:
+        config.dataset_config.latents_dir = args.latents_dir
+    if args.dataset_dir:
+        config.dataset_config.dataset_dir = args.dataset_dir
+    if args.save_dir:
+        config.save_dir = args.save_dir
+    if args.log_dir:
+        config.log_dir = args.log_dir
+    run(config, distributed=args.distributed, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

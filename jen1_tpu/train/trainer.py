@@ -1,0 +1,284 @@
+"""Unified multi-task trainer.
+
+TPU-native rebuild of UnifiedMultiTaskTrainer (reference trainer.py:16-278):
+each batch is split into one sub-batch per task (batch % n_tasks == 0); each
+sub-batch gets its task's latent mask and causal flag; the three diffusion
+losses are summed and one gradient step is taken (with micro-batch gradient
+accumulation via optax.MultiSteps, grad clipping, LinearLR warmup).
+
+TPU-first differences from the reference:
+  * The entire multi-task step — mask generation, conditioning assembly,
+    3 model forwards (2 graph variants via the static causal flags), loss sum,
+    grad, optimizer update — is ONE jit-compiled function.
+  * Text embeddings enter the step precomputed: the reference runs the frozen
+    T5 forward inside the hot loop every step (trainer.py:197 -> SURVEY §3.2);
+    here the conditioner is invoked (and cacheable) outside the compiled step.
+  * Data parallelism is a mesh axis: the batch is dp-sharded, parameters are
+    replicated (or tp-sharded), and XLA emits the gradient all-reduce — there
+    is no DDP wrapper (reference train.py:88, broken per SURVEY §2.2).
+  * Optional EMA of parameters (reference has only a dead `use_ema` flag,
+    config.py:90 — SURVEY §2.5 #14).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from jen1_tpu.conditioning.conditioners import assemble_conditioning
+from jen1_tpu.train.optim import make_optimizer
+from jen1_tpu.train.tasks import apply_mask, random_task_mask, task_is_causal
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+    ema_params: Optional[Any] = None
+
+
+class UnifiedMultiTaskTrainer:
+    def __init__(
+        self,
+        config,
+        model,
+        diffusion,
+        conditioner=None,
+        mesh=None,
+        cross_attn_cond_ids=("prompt",),
+        global_cond_ids=(),
+        input_concat_ids=("masked_input", "mask"),
+    ):
+        self.config = config
+        self.model = model
+        self.diffusion = diffusion
+        self.conditioner = conditioner
+        self.mesh = mesh
+        self.tasks = tuple(config.tasks)
+        self.cross_attn_cond_ids = tuple(cross_attn_cond_ids)
+        self.global_cond_ids = tuple(global_cond_ids)
+        self.input_concat_ids = tuple(input_concat_ids)
+        self.optimizer = make_optimizer(
+            config.optimizer_config, config.grad_accum_every
+        )
+        self.use_ema = config.use_ema
+        self.ema_decay = config.ema_decay
+        self.compute_dtype = (
+            jnp.bfloat16 if config.model_config.dtype == "bfloat16" else jnp.float32
+        )
+        self._step_cache: Dict[Tuple[bool, ...], Any] = {}
+        self._eval_cache: Dict[Tuple[bool, ...], Any] = {}
+
+    # ------------------------------------------------------------- state
+
+    def init_state(self, rng: jax.Array, sample_batch: Dict[str, Any]) -> TrainState:
+        """sample_batch: {'latents': (B,L,C), 'text_emb': (B,M,E), 'text_mask': (B,M)}"""
+        latents = sample_batch["latents"]
+        b, l, c = latents.shape
+        emb = sample_batch["text_emb"]
+        mask = sample_batch["text_mask"]
+        concat = jnp.zeros((b, l, c + 1), latents.dtype)
+        params = self.model.init(
+            rng,
+            latents,
+            jnp.zeros((b,), jnp.float32),
+            embedding=emb,
+            embedding_mask=mask,
+            channels_list=[concat],
+            causal=False,
+        )
+        opt_state = self.optimizer.init(params["params"])
+        state = TrainState(
+            params=params["params"],
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            # distinct buffers: donated train steps must not alias params/ema
+            ema_params=(
+                jax.tree.map(jnp.copy, params["params"]) if self.use_ema else None
+            ),
+        )
+        if self.mesh is not None:
+            from jen1_tpu.parallel.mesh import replicated
+
+            state = jax.tree.map(
+                lambda x: jax.device_put(x, replicated(self.mesh)), state
+            )
+        return state
+
+    # ---------------------------------------------------------- internals
+
+    def _multi_task_loss(
+        self,
+        params,
+        latents: jnp.ndarray,
+        text_emb: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        rng: jax.Array,
+        causal_flags: Tuple[bool, ...],
+    ):
+        """Split into per-task sub-batches and sum losses (trainer.py:183-213)."""
+        n_tasks = len(self.tasks)
+        b = latents.shape[0]
+        assert b % n_tasks == 0, "batch size must be divisible by the number of tasks"
+        sub = b // n_tasks
+
+        def model_fn(x, t, **kw):
+            return self.model.apply({"params": params}, x, t, **kw)
+
+        total = 0.0
+        per_task = {}
+        for i, (task, causal) in enumerate(zip(self.tasks, causal_flags)):
+            s = slice(i * sub, (i + 1) * sub)
+            sub_lat = latents[s]
+            rng_task = jax.random.fold_in(rng, i)
+            rng_mask, rng_t, rng_loss = jax.random.split(rng_task, 3)
+            mask = random_task_mask(rng_mask, sub, sub_lat.shape[1], task)
+            masked_input, mask = apply_mask(sub_lat, mask)
+            cond = {
+                "prompt": (text_emb[s], text_mask[s]),
+                "masked_input": masked_input.astype(self.compute_dtype),
+                "mask": mask.astype(self.compute_dtype),
+            }
+            conditioning = assemble_conditioning(
+                cond,
+                cross_attn_cond_ids=self.cross_attn_cond_ids,
+                global_cond_ids=self.global_cond_ids,
+                input_concat_ids=self.input_concat_ids,
+            )
+            x0 = sub_lat.astype(self.compute_dtype)
+            if self.config.diffusion_type == "gdm":
+                t = jax.random.randint(
+                    rng_t, (sub,), 0, self.diffusion.num_timesteps
+                )
+                loss = self.diffusion.training_losses(
+                    model_fn, x0, t, conditioning, rng_loss, causal=causal
+                )
+            else:
+                loss = self.diffusion.training_losses(
+                    model_fn, x0, conditioning, rng_loss, causal=causal
+                )
+            per_task[task] = loss
+            total = total + loss
+        return total, per_task
+
+    def _build_train_step(self, causal_flags: Tuple[bool, ...]):
+        def step_fn(state: TrainState, batch, rng):
+            def loss_fn(params):
+                return self._multi_task_loss(
+                    params,
+                    batch["latents"],
+                    batch["text_emb"],
+                    batch["text_mask"],
+                    rng,
+                    causal_flags,
+                )
+
+            (total, per_task), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            ema = state.ema_params
+            if ema is not None:
+                d = self.ema_decay
+                ema = jax.tree.map(lambda e, p: e * d + p * (1 - d), ema, params)
+            metrics = {
+                "loss/train": total,
+                "grad_norm": optax.global_norm(grads),
+                **{f"loss_{k}/train": v for k, v in per_task.items()},
+            }
+            return (
+                TrainState(
+                    params=params,
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                    ema_params=ema,
+                ),
+                metrics,
+            )
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step(self, causal_flags: Tuple[bool, ...]):
+        def eval_fn(state: TrainState, batch, rng):
+            total, per_task = self._multi_task_loss(
+                state.params,
+                batch["latents"],
+                batch["text_emb"],
+                batch["text_mask"],
+                rng,
+                causal_flags,
+            )
+            return {
+                "loss/val": total,
+                **{f"loss_{k}/val": v for k, v in per_task.items()},
+            }
+
+        return jax.jit(eval_fn)
+
+    def _causal_flags(self, rng_host) -> Tuple[bool, ...]:
+        """Per-step causal flags; text_guided's is a host-side coin flip
+        selecting one of two compiled graphs (trainer.py:222-223)."""
+        tg = bool(rng_host.integers(0, 2)) if "text_guided" in self.tasks else False
+        return tuple(task_is_causal(t, tg) for t in self.tasks)
+
+    # ------------------------------------------------------------ public
+
+    def train_step(
+        self, state: TrainState, batch: Dict[str, Any], rng: jax.Array, host_rng
+    ):
+        flags = self._causal_flags(host_rng)
+        if flags not in self._step_cache:
+            self._step_cache[flags] = self._build_train_step(flags)
+        return self._step_cache[flags](state, batch, rng)
+
+    def eval_step(
+        self,
+        state: TrainState,
+        batch: Dict[str, Any],
+        rng: jax.Array,
+        text_guided_causal: bool = False,
+    ):
+        flags = tuple(task_is_causal(t, text_guided_causal) for t in self.tasks)
+        if flags not in self._eval_cache:
+            self._eval_cache[flags] = self._build_eval_step(flags)
+        return self._eval_cache[flags](state, batch, rng)
+
+    def prepare_batch(self, latents, metadata) -> Dict[str, Any]:
+        """Host-side: run the (frozen) conditioner over metadata prompts and
+        pack the compiled-step inputs. latents: (B, L, C) channels-last."""
+        assert self.conditioner is not None, "prepare_batch needs a conditioner"
+        cond_out = self.conditioner(metadata)
+        text_emb, text_mask = cond_out["prompt"]
+        batch = {
+            "latents": jnp.asarray(latents),
+            "text_emb": text_emb.astype(self.compute_dtype),
+            "text_mask": text_mask,
+        }
+        if self.mesh is not None:
+            from jen1_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def evaluate(
+        self, state: TrainState, batches: Iterable, rng: jax.Array
+    ) -> Dict[str, float]:
+        """Average validation losses over batches (trainer.py:62-124)."""
+        sums: Dict[str, float] = {}
+        count = 0
+        for i, (latents, metadata) in enumerate(batches):
+            batch = self.prepare_batch(latents, metadata)
+            metrics = self.eval_step(state, batch, jax.random.fold_in(rng, i))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}

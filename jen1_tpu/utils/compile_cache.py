@@ -1,0 +1,23 @@
+"""Persistent XLA compilation cache setup.
+
+On this class of host (single-core CPU driving a remote TPU) a cold compile of
+the train step or sampler costs minutes; the persistent cache amortizes it
+across processes and rounds. Called by the CLIs (train, preprocess, bench,
+graft entry); importing the library never mutates global jax config.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/jen1_tpu_xla")
+
+
+def enable_compile_cache(directory: str | None = None) -> None:
+    import jax
+
+    directory = directory or os.environ.get("JEN1_TPU_CACHE_DIR", _DEFAULT_DIR)
+    os.makedirs(directory, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,100 @@
+"""End-to-end Jen1.generate API tests (tiny model + tiny codec, hermetic)."""
+
+import numpy as np
+import pytest
+
+from jen1_tpu.api.generation import Jen1, save_audio
+from jen1_tpu.codec.model import EncodecConfig, EncodecModel
+from jen1_tpu.conditioning.conditioners import (
+    MultiConditioner,
+    T5Conditioner,
+)
+from jen1_tpu.config import tiny_test_config
+
+
+@pytest.fixture(scope="module")
+def jen1():
+    cfg = tiny_test_config()
+    cfg.diffusion_config.gaussian_diffusion.steps = 8
+    cfg.diffusion_config.gaussian_diffusion.noise_schedule = "cosine"
+    codec = EncodecModel(
+        EncodecConfig(
+            sample_rate=1600, channels=2, dimension=8, n_filters=2,
+            ratios=(5, 4, 2), n_q=2, bins=16,
+        )
+    )
+    conditioner = MultiConditioner(
+        {
+            "prompt": T5Conditioner(
+                output_dim=cfg.model_config.context_embedding_features,
+                t5_model_name="tiny-test",
+                max_length=cfg.model_config.context_embedding_max_length,
+            )
+        }
+    )
+    return Jen1(
+        ckpt_path=None,
+        sample_rate=1600,
+        config=cfg,
+        codec=codec,
+        conditioner=conditioner,
+    )
+
+
+class TestGenerate:
+    def test_text_guided_vdm(self, jen1):
+        out = jen1.generate("a beautiful song", seed=1, steps=3, batch_size=1,
+                            seconds=1)
+        assert out.shape == (1, 2, 1600)
+        assert np.isfinite(out).all()
+
+    def test_text_guided_gdm(self, jen1):
+        out = jen1.generate("a beautiful song", seed=2, steps=4, batch_size=2,
+                            seconds=1, use_gdm=True)
+        assert out.shape == (2, 2, 1600)
+        assert np.isfinite(out).all()
+
+    def test_latent_only_output(self, jen1):
+        lat = jen1.generate("x", seed=3, steps=3, seconds=1, decode=False)
+        assert lat.shape == (1, 8, 40)  # (B, dim, frames) reference layout
+
+    def test_inpaint(self, jen1):
+        init = np.zeros((1600, 2), np.float32)
+        out = jen1.generate("fill the middle", seed=4, steps=3, seconds=1,
+                            task="music_inpaint", init_audio=init,
+                            init_audio_sr=1600, inpainting_scope=(0.3, 0.7))
+        assert out.shape == (1, 2, 1600)
+
+    def test_continuation(self, jen1):
+        init = np.zeros((800, 2), np.float32)  # first 0.5 s given
+        out = jen1.generate("continue this", seed=5, steps=3, seconds=1,
+                            task="music_cont", init_audio=init,
+                            init_audio_sr=1600)
+        assert out.shape == (1, 2, 1600)
+
+    def test_seed_determinism(self, jen1):
+        a = jen1.generate("determinism", seed=42, steps=3, seconds=1)
+        b = jen1.generate("determinism", seed=42, steps=3, seconds=1)
+        np.testing.assert_array_equal(a, b)
+        c = jen1.generate("determinism", seed=43, steps=3, seconds=1)
+        assert not np.array_equal(a, c)
+
+    def test_inpaint_requires_scope(self, jen1):
+        with pytest.raises(AssertionError, match="inpainting_scope"):
+            jen1.generate("x", steps=2, seconds=1, task="music_inpaint",
+                          init_audio=np.zeros((1600, 2), np.float32),
+                          init_audio_sr=1600)
+
+    def test_unknown_task_raises(self, jen1):
+        with pytest.raises(ValueError, match="unknown task"):
+            jen1.generate("x", steps=2, seconds=1, task="remix")
+
+    def test_save_audio(self, jen1, tmp_path):
+        out = jen1.generate("save me", seed=6, steps=2, seconds=1)
+        path = str(tmp_path / "out.wav")
+        save_audio(out, path, sample_rate=1600)
+        from jen1_tpu.data.audio_io import read_wav
+
+        audio, sr = read_wav(path)
+        assert sr == 1600
+        assert audio.shape == (1600, 2)

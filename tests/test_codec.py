@@ -1,0 +1,149 @@
+"""EnCodec-48k JAX implementation tests (hermetic: random weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jen1_tpu.codec.model import EncodecConfig, EncodecModel, _linear_overlap_add
+from jen1_tpu.codec.rvq import ResidualVectorQuantizer
+from jen1_tpu.codec.seanet import SLSTM, SConv1d, SConvTranspose1d
+
+
+@pytest.fixture(scope="module")
+def tiny_codec():
+    # scaled-down codec: same topology, tiny dims, sample_rate 1600, hop 40
+    cfg = EncodecConfig(
+        sample_rate=1600, channels=2, dimension=8, n_filters=2,
+        ratios=(5, 4, 2), n_q=4, bins=16, segment=1.0, overlap=0.01,
+    )
+    return EncodecModel(cfg)
+
+
+class TestSConv:
+    def test_strided_length_is_ceil(self):
+        conv = SConv1d(out_channels=3, kernel_size=8, stride=4, norm="none")
+        for L in (64, 63, 61):
+            x = jnp.ones((1, L, 2))
+            p = conv.init(jax.random.PRNGKey(0), x)
+            y = conv.apply(p, x)
+            assert y.shape[1] == int(np.ceil(L / 4)), (L, y.shape)
+
+    def test_transpose_inverts_length(self):
+        up = SConvTranspose1d(out_channels=2, kernel_size=8, stride=4, norm="none")
+        x = jnp.ones((1, 16, 3))
+        p = up.init(jax.random.PRNGKey(0), x)
+        y = up.apply(p, x)
+        assert y.shape[1] == 16 * 4
+
+
+class TestSLSTM:
+    def test_matches_torch_lstm(self):
+        import torch
+
+        B, L, C = 2, 11, 6
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(B, L, C)).astype(np.float32)
+
+        tl = torch.nn.LSTM(C, C, num_layers=2)
+        sl = SLSTM(hidden=C, num_layers=2, skip=True)
+        # build our params from torch weights (the converter's LSTM mapping)
+        p = {"params": {}}
+        for layer in range(2):
+            p["params"][f"l{layer}_w_ih"] = jnp.asarray(
+                getattr(tl, f"weight_ih_l{layer}").detach().numpy().T)
+            p["params"][f"l{layer}_w_hh"] = jnp.asarray(
+                getattr(tl, f"weight_hh_l{layer}").detach().numpy().T)
+            p["params"][f"l{layer}_b_ih"] = jnp.asarray(
+                getattr(tl, f"bias_ih_l{layer}").detach().numpy())
+            p["params"][f"l{layer}_b_hh"] = jnp.asarray(
+                getattr(tl, f"bias_hh_l{layer}").detach().numpy())
+
+        with torch.no_grad():
+            ref, _ = tl(torch.from_numpy(x.transpose(1, 0, 2)))  # (L, B, C)
+        ref = ref.numpy().transpose(1, 0, 2) + x  # skip connection
+
+        out = sl.apply(p, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+class TestRVQ:
+    def test_codes_shape_and_range(self):
+        rvq = ResidualVectorQuantizer.random_init(n_q=4, bins=16, dim=8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 8))
+        codes = rvq.encode(x)
+        assert codes.shape == (2, 4, 10)
+        assert codes.min() >= 0 and codes.max() < 16
+
+    def test_decode_sums_embeddings(self):
+        rvq = ResidualVectorQuantizer.random_init(n_q=2, bins=4, dim=3)
+        codes = jnp.asarray([[[0, 1], [2, 3]]])  # (1, 2, 2)
+        out = rvq.decode(codes)
+        expect0 = rvq.codebooks[0][0] + rvq.codebooks[1][2]
+        np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(expect0), rtol=1e-6)
+
+    def test_error_decreases_with_stages(self):
+        # NOTE: seeds must differ from the codebook init seed — with the same
+        # key, jax.random.normal generates identical leading values and the
+        # inputs coincide exactly with codebook rows (zero quantization error).
+        rvq = ResidualVectorQuantizer.random_init(n_q=8, bins=64, dim=4, seed=1)
+        x = jax.random.normal(jax.random.PRNGKey(777), (1, 50, 4))
+        errs = []
+        for n_q in (1, 4, 8):
+            q = rvq.quantize_latent(x, n_q=n_q)
+            errs.append(float(jnp.mean(jnp.square(q - x))))
+        assert errs[0] > errs[1] > errs[2], errs
+
+    def test_exact_on_codebook_entries(self):
+        rvq = ResidualVectorQuantizer.random_init(n_q=2, bins=8, dim=4, seed=2)
+        # single-stage representable input: entry of stage0 + nearest 0-ish of stage1
+        x = rvq.codebooks[0][3][None, None, :]  # (1,1,4)
+        codes = rvq.encode(x, n_q=1)
+        assert int(codes[0, 0, 0]) == 3
+
+    def test_bandwidth_to_nq(self):
+        rvq = ResidualVectorQuantizer.random_init(n_q=16, bins=1024, dim=128)
+        assert rvq.num_quantizers_for_bandwidth(None) == 16
+        assert rvq.num_quantizers_for_bandwidth(24.0) == 16
+        assert rvq.num_quantizers_for_bandwidth(6.0) == 4
+        assert rvq.num_quantizers_for_bandwidth(3.0) == 2
+
+
+class TestEncodecModel:
+    def test_latent_shapes(self, tiny_codec):
+        m = tiny_codec
+        hop = m.config.hop_length  # 40
+        audio = jax.random.normal(jax.random.PRNGKey(0), (2, 1600, 2))
+        z = m.encode_latent(audio)
+        assert z.shape == (2, 1600 // hop, 8)
+        out = m.decode_latent(z)
+        assert out.shape == (2, 1600, 2)
+
+    def test_unquantized_vs_quantized(self, tiny_codec):
+        m = tiny_codec
+        audio = jax.random.normal(jax.random.PRNGKey(1), (1, 800, 2))
+        z = m.encode_latent(audio, quantize=False)
+        zq = m.encode_latent(audio, quantize=True)
+        assert z.shape == zq.shape
+        assert not np.allclose(np.asarray(z), np.asarray(zq))
+
+    def test_segmented_encode_decode(self, tiny_codec):
+        m = tiny_codec
+        T = int(2.5 * m.config.sample_rate)
+        audio = jax.random.normal(jax.random.PRNGKey(2), (1, T, 2))
+        frames = m.encode(audio)
+        assert len(frames) >= 3  # 1 s segments, 0.99 s stride over 2.5 s
+        codes, scale = frames[0]
+        assert codes.shape[1] == m.config.n_q
+        assert scale is not None  # normalize=True
+        out = m.decode(frames)
+        assert out.shape[0] == 1 and out.shape[2] == 2
+        # overlap-add output covers at least the input length (may overshoot
+        # by padding inside the last segment)
+        assert out.shape[1] >= T - m.config.hop_length
+
+    def test_overlap_add_constant_signal(self):
+        pieces = [jnp.ones((1, 100, 2)), jnp.ones((1, 100, 2))]
+        out = _linear_overlap_add(pieces, stride=90)
+        assert out.shape == (1, 190, 2)
+        np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)

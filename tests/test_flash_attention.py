@@ -1,0 +1,73 @@
+"""Pallas flash attention vs the XLA reference path (interpret-safe on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jen1_tpu.ops.attention import dot_product_attention
+from jen1_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_attention_supported,
+)
+
+
+def make_qkv(B=1, H=2, N=512, D=64, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (B, H, N, D)
+    return tuple(jax.random.normal(k, shape, jnp.float32) for k in ks)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_xla(self, causal):
+        q, k, v = make_qkv()
+        ref = dot_product_attention(q, k, v, causal=causal)
+        out = jax.jit(lambda q, k, v: flash_attention(q, k, v, causal))(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_multi_qblock_causal(self):
+        q, k, v = make_qkv(N=1024, D=32, seed=1)
+        ref = dot_product_attention(q, k, v, causal=True)
+        out = jax.jit(lambda q, k, v: flash_attention(q, k, v, True))(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_unsupported_shapes_fall_back(self):
+        # N not a multiple of 128 -> silently uses the XLA path
+        q, k, v = make_qkv(N=100, D=16, seed=2)
+        out = flash_attention(q, k, v, False)
+        ref = dot_product_attention(q, k, v, causal=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+        assert not flash_attention_supported(100, 16)
+        assert flash_attention_supported(512, 64)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_gradients_match(self, causal):
+        q, k, v = make_qkv(N=256, D=32, seed=3)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, causal=causal) ** 2)
+
+        gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_bf16(self):
+        q, k, v = (a.astype(jnp.bfloat16) for a in make_qkv(N=256, D=64, seed=4))
+        out = jax.jit(lambda q, k, v: flash_attention(q, k, v, False))(q, k, v)
+        assert out.dtype == jnp.bfloat16
+        ref = dot_product_attention(q, k, v, causal=False)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )

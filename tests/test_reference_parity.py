@@ -1,0 +1,171 @@
+"""Golden parity: reference torch UNetCFG1d vs jen1_tpu UNetCFG1d.
+
+Builds the reference model on CPU with random weights, imports the state
+dict through ckpt/torch_import, and compares forward outputs at matched
+inputs — the strongest correctness evidence available without pretrained
+weights (SURVEY §4 implication (b)).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+from jen1_tpu.ckpt.torch_import import convert_reference_unet
+from jen1_tpu.config import ModelConfig
+from jen1_tpu.models.unet import unet_from_model_config
+from tests.reference_compat import import_reference_unet
+
+# tiny but structurally complete: patcher, 3 levels (one factor-1), attention
+# at two levels + bottleneck, xattn time token, context channels at layer 0
+# channels at attention levels must be >=32: the reference Transformer1d
+# hardcodes GroupNorm(32, channels) (blocks.py:509)
+MC = ModelConfig(
+    in_channels=8,
+    channels=16,
+    multipliers=(1, 2, 2, 4),
+    factors=(1, 2, 2),
+    num_blocks=(1, 2, 1),
+    attentions=(0, 1, 1),
+    patch_size=1,
+    resnet_groups=4,
+    use_xattn_time=True,
+    out_channels=8,
+    context_channels=(9,),
+    context_embedding_features=16,
+    context_embedding_max_length=6,
+    attention_heads=2,
+    attention_features=None,
+    attention_multiplier=2,
+    dtype="float32",
+    use_flash_attention=False,
+    tie_transformer_projections=True,  # required for faithful import
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    ref_model = import_reference_unet()
+    torch.manual_seed(0)
+    ref = ref_model.UNetCFG1d(
+        context_embedding_max_length=MC.context_embedding_max_length,
+        context_embedding_features=MC.context_embedding_features,
+        use_xattn_time=MC.use_xattn_time,
+        in_channels=MC.in_channels,
+        channels=MC.channels,
+        multipliers=list(MC.multipliers),
+        factors=list(MC.factors),
+        num_blocks=list(MC.num_blocks),
+        attentions=list(MC.attentions),
+        patch_size=MC.patch_size,
+        resnet_groups=MC.resnet_groups,
+        kernel_multiplier_downsample=MC.kernel_multiplier_downsample,
+        use_nearest_upsample=MC.use_nearest_upsample,
+        use_skip_scale=MC.use_skip_scale,
+        use_snake=MC.use_snake,
+        use_stft=False,
+        out_channels=MC.out_channels,
+        context_features=MC.context_features,
+        context_features_multiplier=MC.context_features_multiplier,
+        context_channels=list(MC.context_channels),
+        attention_heads=MC.attention_heads,
+        attention_multiplier=MC.attention_multiplier,
+    ).eval()
+
+    ours = unet_from_model_config(MC)
+    params = convert_reference_unet(ref.state_dict(), MC)
+    return ref, ours, params
+
+
+def _inputs(B=2, L=24, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, L, MC.in_channels)).astype(np.float32)
+    t = np.linspace(0.2, 0.8, B).astype(np.float32)
+    emb = rng.normal(
+        size=(B, MC.context_embedding_max_length, MC.context_embedding_features)
+    ).astype(np.float32)
+    mask = np.ones((B, MC.context_embedding_max_length), dtype=bool)
+    mask[0, 4:] = False
+    concat = rng.normal(size=(B, L, 9)).astype(np.float32)
+    return x, t, emb, mask, concat
+
+
+def _torch_forward(ref, x, t, emb, mask, concat, **kw):
+    with torch.no_grad():
+        out = ref(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            torch.from_numpy(t),
+            embedding=torch.from_numpy(emb),
+            embedding_mask=torch.from_numpy(mask),
+            channels_list=[torch.from_numpy(concat.transpose(0, 2, 1))],
+            **kw,
+        )
+    return out.numpy().transpose(0, 2, 1)
+
+
+def _ours_forward(ours, params, x, t, emb, mask, concat, **kw):
+    out = ours.apply(
+        params,
+        jnp.asarray(x),
+        jnp.asarray(t),
+        embedding=jnp.asarray(emb),
+        embedding_mask=jnp.asarray(mask),
+        channels_list=[jnp.asarray(concat)],
+        **kw,
+    )
+    return np.asarray(out)
+
+
+class TestReferenceParity:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_plain_forward(self, models, causal):
+        ref, ours, params = models
+        x, t, emb, mask, concat = _inputs()
+        a = _torch_forward(ref, x, t, emb, mask, concat,
+                           embedding_scale=1.0, causal=causal)
+        b = _ours_forward(ours, params, x, t, emb, mask, concat,
+                          embedding_scale=1.0, causal=causal)
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+    def test_cfg_batch_forward(self, models):
+        ref, ours, params = models
+        x, t, emb, mask, concat = _inputs(seed=1)
+        kw = dict(embedding_scale=0.8, embedding_mask_proba=0.0,
+                  batch_cfg=True, scale_cfg=True, scale_phi=0.7)
+        a = _torch_forward(ref, x, t, emb, mask, concat, **kw)
+        b = _ours_forward(ours, params, x, t, emb, mask, concat, **kw)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
+
+    def test_cfg_double_forward_path(self, models):
+        ref, ours, params = models
+        x, t, emb, mask, concat = _inputs(seed=2)
+        kw = dict(embedding_scale=0.5, batch_cfg=False, scale_cfg=False)
+        a = _torch_forward(ref, x, t, emb, mask, concat, **kw)
+        b = _ours_forward(ours, params, x, t, emb, mask, concat, **kw)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
+
+    def test_all_imported_params_used(self, models):
+        """Init our model fresh and check the imported tree covers the same
+        leaves (no silently-missing parameters)."""
+        import jax
+
+        _, ours, params = models
+        x, t, emb, mask, concat = _inputs()
+        fresh = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(x),
+            jnp.asarray(t),
+            embedding=jnp.asarray(emb),
+            embedding_mask=jnp.asarray(mask),
+            channels_list=[jnp.asarray(concat)],
+            causal=False,
+        )
+        fresh_paths = {
+            jax.tree_util.keystr(kp): leaf.shape
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(fresh)[0]
+        }
+        imp_paths = {
+            jax.tree_util.keystr(kp): leaf.shape
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        assert fresh_paths == imp_paths

@@ -1,0 +1,166 @@
+"""Trainer tests: multi-task step, grad accum, EMA, dp-mesh sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jen1_tpu.config import tiny_test_config
+from jen1_tpu.diffusion.gdm import GaussianDiffusion
+from jen1_tpu.diffusion.schedules import get_beta_schedule
+from jen1_tpu.models.unet import unet_from_model_config
+from jen1_tpu.train.tasks import random_task_mask, task_is_causal
+from jen1_tpu.train.trainer import UnifiedMultiTaskTrainer
+
+
+def make_trainer(mesh=None, grad_accum=1, use_ema=False, batch=3):
+    cfg = tiny_test_config()
+    cfg.grad_accum_every = grad_accum
+    cfg.use_ema = use_ema
+    cfg.dataset_config.batch_size = batch
+    model = unet_from_model_config(cfg.model_config)
+    betas, _ = get_beta_schedule("cosine", 8)
+    diffusion = GaussianDiffusion(
+        steps=8, betas=betas, objective="v", loss_type="l2",
+        embedding_scale=0.8, batch_cfg=True, scale_cfg=True,
+        cfg_dropout_proba=0.2,
+    )
+    return cfg, UnifiedMultiTaskTrainer(cfg, model, diffusion, mesh=mesh)
+
+
+def make_batch(cfg, B=3, L=48):
+    mc = cfg.model_config
+    rng = np.random.default_rng(0)
+    return {
+        "latents": jnp.asarray(rng.normal(size=(B, L, mc.in_channels)), jnp.float32),
+        "text_emb": jnp.asarray(
+            rng.normal(size=(B, mc.context_embedding_max_length,
+                             mc.context_embedding_features)), jnp.float32),
+        "text_mask": jnp.ones((B, mc.context_embedding_max_length), bool),
+    }
+
+
+class TestTaskMasks:
+    def test_text_guided_all_hidden(self):
+        m = random_task_mask(jax.random.PRNGKey(0), 2, 20, "text_guided")
+        assert m.shape == (2, 20, 1)
+        assert float(m.sum()) == 0.0
+
+    def test_inpaint_contiguous_region(self):
+        m = np.asarray(random_task_mask(jax.random.PRNGKey(1), 2, 50, "music_inpaint"))
+        hidden = (m[0, :, 0] == 0).nonzero()[0]
+        assert 0.2 * 50 <= len(hidden) <= 0.8 * 50
+        assert np.array_equal(hidden, np.arange(hidden[0], hidden[-1] + 1))
+        np.testing.assert_array_equal(m[0], m[1])  # shared across sub-batch
+
+    def test_cont_masks_tail(self):
+        m = np.asarray(random_task_mask(jax.random.PRNGKey(2), 1, 50, "music_cont"))
+        hidden = (m[0, :, 0] == 0).nonzero()[0]
+        assert hidden[-1] == 49
+        assert 0.2 * 50 <= len(hidden) <= 0.8 * 50
+
+    def test_causal_flags(self):
+        assert task_is_causal("music_cont", False) is True
+        assert task_is_causal("music_inpaint", True) is False
+        assert task_is_causal("text_guided", True) is True
+        assert task_is_causal("text_guided", False) is False
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_repeated_batch(self):
+        cfg, trainer = make_trainer()
+        batch = make_batch(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        host_rng = np.random.default_rng(0)
+        losses = []
+        for i in range(8):
+            state, metrics = trainer.train_step(
+                state, batch, jax.random.PRNGKey(100), host_rng)  # fixed rng -> same noise
+            losses.append(float(metrics["loss/train"]))
+        assert int(state.step) == 8
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_per_task_metrics_present(self):
+        cfg, trainer = make_trainer()
+        batch = make_batch(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = trainer.train_step(
+            state, batch, jax.random.PRNGKey(1), np.random.default_rng(1))
+        for task in cfg.tasks:
+            assert f"loss_{task}/train" in metrics
+        assert float(metrics["grad_norm"]) > 0
+
+    def test_grad_accum_delays_update(self):
+        cfg, trainer = make_trainer(grad_accum=3)
+        batch = make_batch(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        p0 = jax.tree.leaves(state.params)[0].copy()
+        host_rng = np.random.default_rng(0)
+        state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1), host_rng)
+        state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(2), host_rng)
+        np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+        state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(3), host_rng)
+        assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+
+    def test_ema_tracks_params(self):
+        cfg, trainer = make_trainer(use_ema=True)
+        batch = make_batch(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        assert state.ema_params is not None
+        host_rng = np.random.default_rng(0)
+        state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1), host_rng)
+        # EMA moved slightly toward new params but differs from them
+        e = jax.tree.leaves(state.ema_params)[0]
+        p = jax.tree.leaves(state.params)[0]
+        assert not np.allclose(np.asarray(e), np.asarray(p))
+
+    def test_eval_step(self):
+        cfg, trainer = make_trainer()
+        batch = make_batch(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        metrics = trainer.eval_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss/val"]))
+
+    def test_batch_not_divisible_raises(self):
+        cfg, trainer = make_trainer(batch=4)
+        batch = make_batch(cfg, B=4)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        with pytest.raises(AssertionError, match="divisible"):
+            trainer.train_step(state, batch, jax.random.PRNGKey(1),
+                               np.random.default_rng(0))
+
+
+class TestMeshDP:
+    def test_dp_sharded_step(self):
+        from jen1_tpu.parallel.mesh import make_mesh, shard_batch
+
+        assert len(jax.devices()) == 8, "conftest should give 8 cpu devices"
+        mesh = make_mesh(dp=4, tp=2)
+        cfg, trainer = make_trainer(mesh=mesh, batch=12)
+        batch = make_batch(cfg, B=12)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        batch = shard_batch(batch, mesh)
+        state, metrics = trainer.train_step(
+            state, batch, jax.random.PRNGKey(1), np.random.default_rng(0))
+        assert np.isfinite(float(metrics["loss/train"]))
+        # params stay replicated
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_param_shardings_tp_rules(self):
+        from jen1_tpu.parallel.mesh import make_mesh, param_shardings
+
+        mesh = make_mesh(dp=4, tp=2)
+        cfg, trainer = make_trainer()
+        batch = make_batch(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        sh = param_shardings(state.params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+        tp_sharded = [
+            jax.tree_util.keystr(kp)
+            for kp, s in flat
+            if s.spec != ()  # non-replicated
+        ]
+        assert any("to_q" in p for p in tp_sharded), tp_sharded[:5]
+        assert any("linear1" in p for p in tp_sharded)
