@@ -79,11 +79,13 @@ def main():
         "input_concat_cond": concat,
     }
 
-    sample = jax.jit(
-        lambda rng: gdm.ddim_sample(
-            model_fn, (B, L, C), cond, rng, causal=False, clip_denoised=True
-        )
-    )
+    # stepwise mode: one jitted denoising step + host loop. The whole-loop
+    # lax.scan graph exceeds what this host's remote compile service accepts
+    # (observed: broken pipe at ~40 min); the step graph compiles fine and the
+    # carry stays on device, so throughput is within dispatch noise of scan.
+    def sample(rng):
+        return gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
+                          mode="stepwise")
 
     t0 = time.time()
     out = sample(jax.random.PRNGKey(2))

@@ -141,6 +141,7 @@ class Jen1:
         init_audio_sr: Optional[int] = None,
         inpainting_scope: Optional[Tuple[float, float]] = None,
         decode: bool = True,
+        sampler_mode: str = "scan",
     ):
         """Returns waveform (B, channels, samples) float32 (or the latent
         (B, 128, frames) when decode=False)."""
@@ -241,19 +242,28 @@ class Jen1:
         shape = (batch_size, latent_len, latent_dim)
         init_data = None if no_init else init_emb
 
-        if use_gdm:
+        # 'scan': whole loop in one XLA program (preferred on real TPU hosts);
+        # 'stepwise': one jitted step + host loop, for environments whose
+        # compile service rejects very large programs (full-size model).
+        if use_gdm and sampler_mode == "stepwise":
+            latents = diffusion.sample(
+                model_fn, shape, conditioning, jax.random.fold_in(rng, 2),
+                causal=causal, init_data=init_data, mode="stepwise",
+            )
+        elif use_gdm:
             sample_fn = jax.jit(
                 lambda r, c, i: diffusion.sample(
                     model_fn, shape, c, r, causal=causal, init_data=i
                 )
             )
+            latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
         else:
             sample_fn = jax.jit(
                 lambda r, c, i: diffusion.sample(
                     model_fn, shape, c, r, step=steps, causal=causal, init_data=i
                 )
             )
-        latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
+            latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
 
         if not decode:
             return np.asarray(latents).transpose(0, 2, 1)  # (B, 128, F)

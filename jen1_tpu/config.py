@@ -284,6 +284,28 @@ def _is_tuple_annotation(tp) -> bool:
     return isinstance(tp, str) and tp.startswith("Tuple")
 
 
+def composer_config(n_tracks: int = 4) -> Config:
+    """JEN-1-Composer-style multi-track configuration (BASELINE configs[4]).
+
+    Tracks live as channel groups in one latent: in/out = 128 * n_tracks, and
+    the channel-concat conditioning carries each track's masked latent plus a
+    per-track mask channel, so any subset of tracks conditions the rest
+    (track-wise inpainting generalizes the single-track task masks).
+    Long-form generation at 30 s+ keeps latent frames <= ~4500 at the top
+    level, where the Pallas flash-attention path engages.
+    """
+    cfg = Config()
+    mc = cfg.model_config
+    cfg.model_config = dataclasses.replace(
+        mc,
+        in_channels=128 * n_tracks,
+        out_channels=128 * n_tracks,
+        context_channels=(128 * n_tracks + n_tracks,),
+        use_flash_attention=True,
+    )
+    return cfg
+
+
 def tiny_test_config() -> Config:
     """A miniature config for fast hermetic tests (same topology, tiny dims)."""
     cfg = Config()
@@ -305,6 +327,7 @@ def tiny_test_config() -> Config:
         use_flash_attention=False,
     )
     cfg.diffusion_config.gaussian_diffusion.steps = 8
+    cfg.diffusion_config.gaussian_diffusion.noise_schedule = "cosine"  # linear overflows beta<=1 at tiny step counts
     cfg.conditioner_config.cond_dim = 16
     cfg.dataset_config.batch_size = 3
     cfg.grad_accum_every = 1

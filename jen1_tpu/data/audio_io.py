@@ -66,8 +66,16 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
 def load_audio(
     path: str, start_frame: int = 0, num_frames: Optional[int] = None
 ) -> Tuple[np.ndarray, int]:
-    """Read any supported format: WAV via stdlib, else soundfile/torchaudio."""
+    """Read any supported format: WAV via the native C++ decoder
+    (native/wavio.cpp) when built, else stdlib, else soundfile/torchaudio."""
     if path.lower().endswith(".wav"):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.available():
+                return native_io.wav_read(path, start_frame, num_frames)
+        except Exception:
+            pass
         try:
             return read_wav(path, start_frame, num_frames)
         except Exception:
@@ -102,6 +110,14 @@ def get_duration_sec(path: str) -> float:
     """Fast duration probe (reference: dataset/preprocess.py:5-8 loads the
     whole file; WAV headers make this O(1))."""
     if path.lower().endswith(".wav"):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.available():
+                sr, _, frames = native_io.wav_info(path)
+                return frames / sr
+        except Exception:
+            pass
         try:
             with wave.open(path, "rb") as w:
                 return w.getnframes() / w.getframerate()

@@ -1,0 +1,141 @@
+"""ctypes bindings for the native WAV decoder (native/wavio.cpp).
+
+Builds the shared library on first use (g++ is in the image; pybind11 is
+not, so the ABI is plain C via ctypes). Falls back gracefully when no
+compiler is available — data/audio_io.py keeps the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "wavio.cpp")
+_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_LIB_DIR, "libjen1wavio.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _failed = True
+            return None
+        lib.jen1_wav_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.jen1_wav_info.restype = ctypes.c_int
+        lib.jen1_wav_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.jen1_wav_read.restype = ctypes.c_int64
+        lib.jen1_wav_read_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.jen1_wav_read_batch.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def wav_info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, channels, num_frames); raises on failure."""
+    lib = get_lib()
+    assert lib is not None, "native wavio unavailable"
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.jen1_wav_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch),
+                           ctypes.byref(frames))
+    if rc != 0:
+        raise IOError(f"jen1_wav_info({path}) failed: {rc}")
+    return sr.value, ch.value, frames.value
+
+
+def wav_read(
+    path: str, start_frame: int = 0, num_frames: Optional[int] = None
+) -> Tuple[np.ndarray, int]:
+    """Decode to (frames, channels) float32; zero-padded past EOF."""
+    lib = get_lib()
+    assert lib is not None, "native wavio unavailable"
+    sr, ch, total = wav_info(path)
+    if num_frames is None:
+        num_frames = max(total - start_frame, 0)
+    out = np.empty((num_frames, ch), np.float32)
+    rc = lib.jen1_wav_read(
+        path.encode(),
+        ctypes.c_int64(start_frame),
+        ctypes.c_int64(num_frames),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise IOError(f"jen1_wav_read({path}) failed: {rc}")
+    return out, sr
+
+
+def wav_read_batch(
+    paths: Sequence[str], starts: Sequence[int], frames: int, channels: int
+) -> np.ndarray:
+    """One FFI call decodes a whole (B, frames, channels) training batch."""
+    lib = get_lib()
+    assert lib is not None, "native wavio unavailable"
+    b = len(paths)
+    out = np.empty((b, frames, channels), np.float32)
+    c_paths = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    c_starts = (ctypes.c_int64 * b)(*[int(s) for s in starts])
+    rc = lib.jen1_wav_read_batch(
+        c_paths,
+        c_starts,
+        ctypes.c_int64(frames),
+        ctypes.c_int32(channels),
+        ctypes.c_int64(b),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise IOError(f"jen1_wav_read_batch failed: {rc}")
+    return out

@@ -21,6 +21,7 @@ All arrays are channels-last (B, L, C).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -366,6 +367,92 @@ class GaussianDiffusion:
             return jnp.concatenate([audio0[None], traj], axis=0)
         return audio
 
+    def ddim_sample_stepwise(
+        self,
+        model_fn: ModelFn,
+        shape: Tuple[int, ...],
+        conditioning: Conditioning,
+        rng: jax.Array,
+        *,
+        causal: bool = False,
+        init_data: Optional[jnp.ndarray] = None,
+        clip_denoised: bool = True,
+    ) -> jnp.ndarray:
+        """DDIM with ONE jitted step + a host loop over (t, t_next) pairs.
+
+        Numerically identical to `ddim_sample` (same per-step rng folding),
+        but the compiled graph is a single denoising step instead of the full
+        scan — the whole-loop HLO can exceed what some compile services
+        accept (observed on tunneled remote compilation); dispatch overhead
+        is hidden by JAX's async dispatch since the carry stays on device.
+        """
+        batch = shape[0]
+        eta = self.ddim_sampling_eta
+        acp = self.alphas_cumprod
+        times = np.linspace(
+            -1, self.num_timesteps - 1, num=self.sampling_timesteps + 1
+        ).astype(np.int32)[::-1]
+        rng_init, rng_loop = jax.random.split(rng)
+        audio = self._init_audio(rng_init, shape, init_data)
+        dropout = self.dropout_during_sampling
+
+        # TWO jits instead of one: the denoiser forward alone, and the tiny
+        # elementwise DDIM update. The combined step graph can exceed what a
+        # remote compile service tolerates (observed: transport drops after
+        # ~25 min of compilation) while the bare forward compiles fine — and
+        # the forward HLO is shared with other callers via the persistent
+        # compilation cache.
+        @jax.jit
+        def fwd(audio, time, step_idx, conditioning):
+            step_rng = jax.random.fold_in(rng_loop, step_idx)
+            rng_cfg, _ = jax.random.split(step_rng)
+            time_cond = jnp.full((batch,), time, dtype=jnp.int32)
+            return self._call_model(
+                model_fn, audio, time_cond, conditioning,
+                causal=causal, rng=rng_cfg, dropout=dropout,
+            ).astype(jnp.float32)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def update(audio, model_out, time, time_next, step_idx):
+            step_rng = jax.random.fold_in(rng_loop, step_idx)
+            _, rng_noise = jax.random.split(step_rng)
+            time_cond = jnp.full((batch,), time, dtype=jnp.int32)
+            clip = (
+                (lambda a: jnp.clip(a, -1.0, 1.0))
+                if clip_denoised
+                else (lambda a: a)
+            )
+            if self.objective == "noise":
+                pred_noise = model_out
+                x_start = clip(
+                    self.predict_start_from_noise(audio, time_cond, pred_noise)
+                )
+            elif self.objective == "x0":
+                x_start = clip(model_out)
+                pred_noise = self.predict_noise_from_start(audio, time_cond, x_start)
+            else:  # 'v'
+                x_start = clip(
+                    self.predict_start_from_v(audio, time_cond, model_out)
+                )
+                pred_noise = self.predict_noise_from_start(audio, time_cond, x_start)
+            alpha = acp[time]
+            alpha_next = acp[jnp.maximum(time_next, 0)]
+            sigma = eta * jnp.sqrt(
+                (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+            )
+            c = jnp.sqrt(1 - alpha_next - sigma**2)
+            noise = jax.random.normal(rng_noise, audio.shape, jnp.float32)
+            stepped = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+            return jnp.where(time_next < 0, x_start, stepped)
+
+        for i, (t, t_next) in enumerate(zip(times[:-1], times[1:])):
+            t_ = jnp.asarray(t, jnp.int32)
+            tn_ = jnp.asarray(t_next, jnp.int32)
+            i_ = jnp.asarray(i, jnp.int32)
+            model_out = fwd(audio, t_, i_, conditioning)
+            audio = update(audio, model_out, t_, tn_, i_)
+        return audio
+
     def sample(
         self,
         model_fn: ModelFn,
@@ -376,8 +463,19 @@ class GaussianDiffusion:
         causal: bool = False,
         init_data: Optional[jnp.ndarray] = None,
         return_all_timesteps: bool = False,
+        mode: str = "scan",
     ) -> jnp.ndarray:
-        """Dispatch DDIM iff sampling_timesteps < steps (gdm.py:227-230)."""
+        """Dispatch DDIM iff sampling_timesteps < steps (gdm.py:227-230).
+
+        mode: 'scan' (whole loop in one XLA program — call under jit) or
+        'stepwise' (one jitted step + host loop — call OUTSIDE jit)."""
+        if mode == "stepwise":
+            assert self.is_ddim_sampling, "stepwise mode implements DDIM"
+            assert not return_all_timesteps
+            return self.ddim_sample_stepwise(
+                model_fn, shape, conditioning, rng,
+                causal=causal, init_data=init_data,
+            )
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
         return fn(
             model_fn,

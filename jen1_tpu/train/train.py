@@ -37,6 +37,19 @@ from jen1_tpu.train.trainer import UnifiedMultiTaskTrainer
 from jen1_tpu.utils.logger import MetricLogger, get_logger
 
 
+_CODEC = None
+
+
+def _get_codec():
+    """Process-wide codec for on-the-fly wav->latent encoding."""
+    global _CODEC
+    if _CODEC is None:
+        from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
+
+        _CODEC = EncodecModel(encodec_48khz_config())
+    return _CODEC
+
+
 def build_trainer(config: Config, mesh=None, conditioner=None):
     model = unet_from_model_config(config.model_config)
     if config.diffusion_type == "gdm":
@@ -54,7 +67,12 @@ def build_trainer(config: Config, mesh=None, conditioner=None):
     )
 
 
-def run(config: Config, distributed: bool = False, max_steps: Optional[int] = None):
+def run(
+    config: Config,
+    distributed: bool = False,
+    max_steps: Optional[int] = None,
+    profile: bool = False,
+):
     if distributed:
         jax.distributed.initialize()
 
@@ -105,12 +123,7 @@ def run(config: Config, distributed: bool = False, max_steps: Optional[int] = No
     best_val = float("inf")
     for step_idx, (latents, metadata) in enumerate(train_iter):
         if dc.latents_dir is None:
-            # raw audio -> on-device latent encode, batched
-            from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
-
-            if not hasattr(run, "_codec"):
-                run._codec = EncodecModel(encodec_48khz_config())
-            latents = np.asarray(run._codec.encode_latent(latents))
+            latents = np.asarray(_get_codec().encode_latent(latents))
         batch = trainer.prepare_batch(latents, metadata)
         if state is None:
             state = trainer.init_state(jax.random.PRNGKey(config.seed), batch)
@@ -120,9 +133,16 @@ def run(config: Config, distributed: bool = False, max_steps: Optional[int] = No
                 start_step = int(state.step)
                 logger.info(f"resumed from step {start_step}")
         t0 = time.time()
+        if profile and step_idx == 2:
+            from jen1_tpu.utils import profiling
+
+            jax.profiler.start_trace(config.log_dir or "profile")
         state, m = trainer.train_step(
             state, batch, jax.random.fold_in(rng, step_idx), host_rng
         )
+        if profile and step_idx == 4:
+            jax.tree.map(lambda x: x.block_until_ready(), m)
+            jax.profiler.stop_trace()
         step = int(state.step)
         if step_idx % max(1, config.grad_accum_every) == 0:
             scalars = {k: float(v) for k, v in m.items()}
@@ -140,7 +160,7 @@ def run(config: Config, distributed: bool = False, max_steps: Optional[int] = No
             def encoded_val():
                 for lat, meta in val_iter:
                     if dc.latents_dir is None:
-                        lat = np.asarray(run._codec.encode_latent(lat))
+                        lat = np.asarray(_get_codec().encode_latent(lat))
                     yield lat, meta
             val_metrics = trainer.evaluate(state, encoded_val(), rng)
             metrics_logger.log(step, val_metrics)
@@ -169,6 +189,8 @@ def main():
     p.add_argument("--log-dir", default=None)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--distributed", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 2-4 into log_dir")
     args = p.parse_args()
 
     config = Config.from_json(args.config) if args.config else Config()
@@ -180,7 +202,8 @@ def main():
         config.save_dir = args.save_dir
     if args.log_dir:
         config.log_dir = args.log_dir
-    run(config, distributed=args.distributed, max_steps=args.max_steps)
+    run(config, distributed=args.distributed, max_steps=args.max_steps,
+        profile=args.profile)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,63 @@
+"""Profiling & tracing (SURVEY §5: absent in the reference — tqdm bars only).
+
+jax.profiler integration: capture an XLA trace viewable in TensorBoard/
+Perfetto, plus a lightweight step timer that reports device-time statistics.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Iterator, List, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture a device trace: `with trace('logs/profile'): step(...)`."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str) -> Iterator[None]:
+    """Named region inside a trace (shows up in the profiler timeline)."""
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+class StepTimer:
+    """Wall-time stats for the hot loop (block_until_ready-accurate)."""
+
+    def __init__(self, warmup: int = 1):
+        self.warmup = warmup
+        self.times: List[float] = []
+        self._count = 0
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self._t0
+        self._count += 1
+        if self._count > self.warmup:
+            self.times.append(dt)
+
+    def stats(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        ts = sorted(self.times)
+        n = len(ts)
+        return {
+            "steps": n,
+            "mean_s": sum(ts) / n,
+            "p50_s": ts[n // 2],
+            "min_s": ts[0],
+            "max_s": ts[-1],
+        }

@@ -129,3 +129,47 @@ class TestLatentDataset:
         ds = LatentDataset(str(d))
         out = list(make_dataloader(ds, batch_size=3, epochs=2, prefetch=2))
         assert len(out) == 4  # 2 epochs x 2 batches
+
+
+class TestNativeIO:
+    def test_native_matches_stdlib(self, tmp_path):
+        from jen1_tpu.data import native_io
+
+        if not native_io.available():
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        sr = 8000
+        audio = np.random.default_rng(5).uniform(-0.9, 0.9, (sr, 2)).astype(np.float32)
+        path = str(tmp_path / "n.wav")
+        write_wav(path, audio, sr)
+        ref, sr_ref = read_wav(path)
+        out, sr_out = native_io.wav_read(path)
+        assert sr_out == sr_ref
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        # partial + past-EOF zero fill
+        part, _ = native_io.wav_read(path, start_frame=sr - 10, num_frames=20)
+        assert part.shape == (20, 2)
+        np.testing.assert_allclose(part[:10], ref[-10:], atol=1e-6)
+        np.testing.assert_array_equal(part[10:], 0)
+
+    def test_native_info_and_batch(self, tmp_path):
+        from jen1_tpu.data import native_io
+
+        if not native_io.available():
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        sr = 4000
+        paths = []
+        for i in range(3):
+            a = np.full((sr, 2), 0.1 * (i + 1), np.float32)
+            p = str(tmp_path / f"b{i}.wav")
+            write_wav(p, a, sr)
+            paths.append(p)
+        got_sr, ch, frames = native_io.wav_info(paths[0])
+        assert (got_sr, ch, frames) == (sr, 2, sr)
+        batch = native_io.wav_read_batch(paths, [0, 100, 200], 256, 2)
+        assert batch.shape == (3, 256, 2)
+        for i in range(3):
+            np.testing.assert_allclose(batch[i], 0.1 * (i + 1), atol=1e-3)

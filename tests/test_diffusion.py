@@ -184,3 +184,26 @@ class TestVDM:
         a, s = alpha_sigma(jnp.asarray(0.7))
         x_pred = a * xt - s * perfect_model(xt, jnp.asarray([0.7]))
         np.testing.assert_allclose(np.asarray(x_pred), np.asarray(x0), atol=1e-5)
+
+
+class TestStepwiseSampler:
+    def test_stepwise_matches_scan(self, tiny_model):
+        """One-jitted-step host loop must equal the lax.scan sampler exactly."""
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=16, sampling=4,
+                       embedding_scale=0.8, batch_cfg=True, scale_cfg=True)
+        rng = jax.random.PRNGKey(11)
+        scan_out = jax.jit(
+            lambda r: gdm.ddim_sample(model_fn, shape, cond, r, causal=False)
+        )(rng)
+        step_out = gdm.sample(model_fn, shape, cond, rng, causal=False,
+                              mode="stepwise")
+        np.testing.assert_allclose(np.asarray(scan_out), np.asarray(step_out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_stepwise_requires_ddim(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=4, sampling=4)  # full DDPM, not DDIM
+        with pytest.raises(AssertionError, match="stepwise"):
+            gdm.sample(model_fn, shape, cond, jax.random.PRNGKey(0),
+                       mode="stepwise")

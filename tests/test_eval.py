@@ -1,0 +1,74 @@
+"""Evaluation metric tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jen1_tpu.eval.metrics import (
+    frechet_audio_distance,
+    frechet_distance,
+    log_mel_embedding,
+    signal_to_noise_ratio,
+    spectral_convergence,
+)
+
+
+class TestFrechet:
+    def test_zero_for_identical_gaussians(self):
+        mu = jnp.asarray([1.0, 2.0])
+        sigma = jnp.asarray([[2.0, 0.3], [0.3, 1.0]])
+        d = frechet_distance(mu, sigma, mu, sigma)
+        assert abs(float(d)) < 1e-4
+
+    def test_mean_shift(self):
+        mu1 = jnp.zeros(3)
+        mu2 = jnp.asarray([1.0, 0.0, 0.0])
+        sigma = jnp.eye(3)
+        d = frechet_distance(mu1, sigma, mu2, sigma)
+        np.testing.assert_allclose(float(d), 1.0, atol=1e-4)
+
+    def test_fad_discriminates(self):
+        rng = np.random.default_rng(0)
+        t = np.arange(48_000) / 48_000
+        tone = lambda f: np.sin(2 * np.pi * f * t).astype(np.float32)  # noqa: E731
+        ref = jnp.asarray(np.stack([tone(220), tone(221), tone(219)]))
+        same = jnp.asarray(np.stack([tone(220.5), tone(219.5), tone(220.2)]))
+        diff = jnp.asarray(rng.normal(size=(3, 48_000)).astype(np.float32))
+        fad_same = frechet_audio_distance(ref, same)
+        fad_diff = frechet_audio_distance(ref, diff)
+        assert fad_same < fad_diff, (fad_same, fad_diff)
+
+
+class TestSignalMetrics:
+    def test_snr_perfect(self):
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 1000)), jnp.float32)
+        snr = signal_to_noise_ratio(x, x)
+        assert float(snr.min()) > 100
+
+    def test_snr_scales_with_noise(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(1, 4000)), jnp.float32)
+        n = jnp.asarray(rng.normal(size=(1, 4000)), jnp.float32)
+        low = signal_to_noise_ratio(x, x + 0.01 * n)
+        high = signal_to_noise_ratio(x, x + 0.5 * n)
+        assert float(low[0]) > float(high[0])
+
+    def test_spectral_convergence(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(1, 8000)), jnp.float32)
+        assert float(spectral_convergence(x, x)[0]) < 1e-5
+        y = jnp.asarray(rng.normal(size=(1, 8000)), jnp.float32)
+        assert float(spectral_convergence(x, y)[0]) > 0.5
+
+
+class TestEmbedding:
+    def test_logmel_shape(self):
+        x = jnp.zeros((2, 48_000))
+        emb = log_mel_embedding(x, 48_000, num_mels=64)
+        assert emb.shape[1] == 64
+        assert emb.shape[0] % 2 == 0
+
+    def test_stereo_collapses(self):
+        x = jnp.zeros((1, 10_000, 2))
+        emb = log_mel_embedding(x, 48_000)
+        assert emb.ndim == 2
