@@ -79,13 +79,18 @@ def main():
         "input_concat_cond": concat,
     }
 
-    # stepwise mode: one jitted denoising step + host loop. The whole-loop
-    # lax.scan graph exceeds what this host's remote compile service accepts
-    # (observed: broken pipe at ~40 min); the step graph compiles fine and the
-    # carry stays on device, so throughput is within dispatch noise of scan.
+    # Stepwise sampler (jitted denoiser fwd + jitted DDIM update + host loop;
+    # numerically identical to the lax.scan sampler — equivalence-tested)
+    # with low XLA optimization effort: measured 69s vs 1078s compile for the
+    # full-size forward at +8% step time. The one-program scan sampler's HLO
+    # reliably kills this host's remote compile service (connection drop
+    # after ~25 min), so bench uses stepwise unconditionally; hosts with a
+    # local compiler can use mode="scan".
+    OPTS = {"exec_time_optimization_effort": -1.0}
+
     def sample(rng):
         return gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
-                          mode="stepwise")
+                          mode="stepwise", compiler_options=OPTS)
 
     t0 = time.time()
     out = sample(jax.random.PRNGKey(2))
