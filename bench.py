@@ -3,24 +3,94 @@
 Flagship configuration, matching the reference inference defaults
 (generation.py:76): 30 s clip -> Encodec-48k latent (B, 4500, 128), 100-step
 DDIM with classifier-free guidance batch-doubling (200 effective UNet
-forwards), bf16 compute. The whole sampling loop is one jit-compiled lax.scan.
+forwards), bf16 compute.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is value / 10.0 — the north-star target is 10x realtime on one
 v5e chip (BASELINE.md), so 1.0 == target met.
+
+Robustness (round-1 failure was rc=124 with zero output):
+  * the measurement runs in a CHILD process that writes the JSON line to a
+    result file the moment the first timed run completes; the parent
+    enforces a hard wall-clock deadline (default 1080 s, env
+    JEN1_BENCH_DEADLINE), kills a stuck child, and always prints a JSON
+    line (value 0.0 if nothing was measured). A watchdog process — not an
+    in-process SIGALRM — because XLA compiles are single long C++ calls
+    that Python signal handlers cannot preempt;
+  * the persistent XLA compile cache (~/.cache/jen1_tpu_xla) is enabled so a
+    re-run skips the slow sampler compile entirely.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
+import tempfile
 import time
 
-import jax
-import jax.numpy as jnp
+
+def _emit(value: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_generated_per_sec_per_chip_100step_ddim",
+                "value": round(float(value), 3),
+                "unit": "audio_s/s/chip",
+                "vs_baseline": round(float(value) / 10.0, 3),
+            }
+        ),
+        flush=True,
+    )
 
 
-def main():
+def parent_main() -> None:
+    deadline = int(os.environ.get("JEN1_BENCH_DEADLINE", "1080"))
+    fd, result_path = tempfile.mkstemp(prefix="jen1_bench_", suffix=".json")
+    os.close(fd)
+    env = dict(os.environ)
+    env["_JEN1_BENCH_CHILD"] = "1"
+    env["_JEN1_BENCH_RESULT"] = result_path
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=sys.stderr,  # child diagnostics go to stderr
+        stderr=sys.stderr,
+    )
+    t0 = time.time()
+    try:
+        proc.wait(timeout=deadline)
+    except subprocess.TimeoutExpired:
+        print(
+            f"# bench watchdog: child exceeded {deadline}s, killing",
+            file=sys.stderr, flush=True,
+        )
+        proc.kill()
+        proc.wait()
+    value = 0.0
+    try:
+        with open(result_path) as f:
+            text = f.read().strip()
+        if text:
+            value = float(json.loads(text)["value"])
+    except Exception:  # noqa: BLE001
+        pass
+    os.unlink(result_path)
+    _emit(value)
+    print(
+        f"# bench total wall={time.time() - t0:.0f}s child_rc={proc.returncode}",
+        file=sys.stderr, flush=True,
+    )
+
+
+def child_main() -> None:
+    result_path = os.environ["_JEN1_BENCH_RESULT"]
+
+    import jax
+    import jax.numpy as jnp
+
     from jen1_tpu.config import Config
     from jen1_tpu.utils.compile_cache import enable_compile_cache
 
@@ -28,11 +98,20 @@ def main():
     from jen1_tpu.diffusion.gdm import create_gaussian_diffusion
     from jen1_tpu.models.unet import unet_from_model_config
 
+    def note(msg):
+        print(f"# bench[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+    def write_result(value):
+        with open(result_path, "w") as f:
+            json.dump({"value": value}, f)
+            f.flush()
+            os.fsync(f.fileno())
+
     cfg = Config()
     mc = cfg.model_config
     model = unet_from_model_config(mc)
 
-    B = 1
+    B = int(os.environ.get("JEN1_BENCH_BATCH", "1"))
     seconds = 30
     L = seconds * 150  # Encodec-48k latent frame rate
     M, E, C = (
@@ -49,16 +128,22 @@ def main():
     mask = jnp.ones((B, M), bool)
     concat = jnp.zeros((B, L, C + 1), jnp.bfloat16)
 
+    note(f"device={jax.devices()[0].device_kind} B={B} L={L} steps={steps}")
     t0 = time.time()
-    params = jax.jit(
+    # eval_shape + zeros instead of a jitted init: the full-size init graph
+    # is its own multi-minute XLA compile, and sampler TIMING is independent
+    # of weight values (XLA specializes on shapes, not values).
+    shapes = jax.eval_shape(
         lambda r: model.init(
             r, x, t, embedding=emb, embedding_mask=mask,
             channels_list=[concat], causal=False,
-        )
-    )(rng)
+        ),
+        rng,
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     jax.block_until_ready(params)
     n_params = sum(v.size for v in jax.tree.leaves(params))
-    init_s = time.time() - t0
+    note(f"params={n_params:,} init={time.time() - t0:.1f}s (eval_shape+zeros)")
 
     gdm = create_gaussian_diffusion(
         cfg.diffusion_config.gaussian_diffusion, sampling_steps=steps
@@ -79,50 +164,76 @@ def main():
         "input_concat_cond": concat,
     }
 
-    # Stepwise sampler (jitted denoiser fwd + jitted DDIM update + host loop;
-    # numerically identical to the lax.scan sampler — equivalence-tested)
-    # with low XLA optimization effort: measured 69s vs 1078s compile for the
-    # full-size forward at +8% step time. The one-program scan sampler's HLO
-    # reliably kills this host's remote compile service (connection drop
-    # after ~25 min), so bench uses stepwise unconditionally; hosts with a
-    # local compiler can use mode="scan".
-    OPTS = {"exec_time_optimization_effort": -1.0}
+    # scan = the whole 100-step loop in ONE XLA program: measured 0.56 s for
+    # a 30 s clip on v5e (53 audio_s/s) vs 11.3 s stepwise — the stepwise
+    # host loop is dispatch-bound through the axon tunnel. Round 1 believed
+    # the scan compile killed the remote compile service; with
+    # exec_time_optimization_effort=-1.0 it compiles in ~200 s (cold) and is
+    # served from the persistent cache afterwards. stepwise remains as the
+    # fallback for hosts whose compiler rejects the whole-loop program.
+    mode = os.environ.get("JEN1_BENCH_MODE", "scan")
+    effort = float(os.environ.get("JEN1_BENCH_OPT_EFFORT", "-1.0"))
+    OPTS = {"exec_time_optimization_effort": effort} if effort else None
 
-    def sample(rng):
-        return gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
-                          mode="stepwise", compiler_options=OPTS)
+    if mode == "scan":
+        # whole 100-step loop in ONE XLA program: no per-step host dispatch
+        # (the stepwise path is dispatch-bound through the axon tunnel).
+        sample = jax.jit(
+            lambda rng: gdm.sample(model_fn, (B, L, C), cond, rng,
+                                   causal=False),
+            compiler_options=OPTS,
+        )
+    else:
+        def sample(rng):
+            return gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
+                              mode=mode, compiler_options=OPTS)
 
     t0 = time.time()
     out = sample(jax.random.PRNGKey(2))
     out.block_until_ready()
-    compile_s = time.time() - t0
+    note(f"sampler compile+first run={time.time() - t0:.1f}s")
 
+    # First timed run -> persist the headline number IMMEDIATELY.
     times = []
     for i in range(3):
         t0 = time.time()
         out = sample(jax.random.PRNGKey(3 + i))
         out.block_until_ready()
         times.append(time.time() - t0)
-    wall = min(times)
+        write_result(seconds * B / min(times))
+        note(
+            f"run {i}: {times[-1]:.2f}s "
+            f"-> {seconds * B / min(times):.2f} audio_s/s"
+        )
 
-    audio_sec_per_sec = seconds * B / wall
-    result = {
-        "metric": "audio_sec_generated_per_sec_per_chip_100step_ddim",
-        "value": round(audio_sec_per_sec, 3),
-        "unit": "audio_s/s/chip",
-        "vs_baseline": round(audio_sec_per_sec / 10.0, 3),
-    }
-    print(json.dumps(result))
-    # diagnostics on stderr-ish second line (driver reads line 1)
-    import sys
-
-    print(
-        f"# params={n_params:,} init={init_s:.1f}s compile={compile_s:.1f}s "
-        f"sample_wall={wall:.2f}s runs={['%.2f' % t for t in times]} "
-        f"device={jax.devices()[0].device_kind}",
-        file=sys.stderr,
-    )
+    best = min(times)
+    # MFU estimate: FLOPs of one denoiser forward (CFG-doubled) from XLA's
+    # cost analysis x steps / best wall / chip peak (v5e: 197 TFLOP/s bf16).
+    try:
+        lowered = jax.jit(
+            lambda a: model_fn(
+                a, t, embedding=emb, embedding_mask=mask,
+                channels_list=[concat], embedding_scale=0.8,
+                batch_cfg=True, scale_cfg=True, causal=False,
+            ),
+            compiler_options=OPTS,
+        ).lower(x)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_fwd = float(cost.get("flops", 0.0))
+        peak = 197e12 if "v5" in jax.devices()[0].device_kind.lower() else 275e12
+        note(
+            f"fwd_flops={flops_fwd:.3e} "
+            f"mfu={flops_fwd * steps / best / peak:.3f}"
+        )
+    except Exception as e:  # noqa: BLE001
+        note(f"mfu unavailable: {type(e).__name__}: {e}")
+    note(f"best_wall={best:.2f}s runs={['%.2f' % v for v in times]} mode={mode}")
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_JEN1_BENCH_CHILD") == "1":
+        child_main()
+    else:
+        parent_main()

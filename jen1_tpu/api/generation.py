@@ -36,6 +36,12 @@ from jen1_tpu.diffusion.vdm import create_variational_diffusion
 from jen1_tpu.models.unet import unet_from_model_config
 
 
+def _warn(msg: str) -> None:
+    import warnings
+
+    warnings.warn(f"jen1_tpu: {msg}", UserWarning, stacklevel=3)
+
+
 class Jen1:
     def __init__(
         self,
@@ -54,13 +60,65 @@ class Jen1:
         self.cross_attn_cond_ids = tuple(cross_attn_cond_ids)
         self.global_cond_ids = tuple(global_cond_ids)
         self.input_concat_ids = tuple(input_concat_ids)
+
+        # Reference .pth checkpoints tie the 1x1 conv before/after each
+        # Transformer1d (blocks.py:510,531,536); importing into an untied
+        # model would silently misinterpret the weights.
+        if (
+            ckpt_path is not None
+            and str(ckpt_path).endswith((".pth", ".pt", ".bin"))
+            and not self.config.model_config.tie_transformer_projections
+        ):
+            _warn(
+                "reference .pth checkpoint requires "
+                "tie_transformer_projections=True; enabling it."
+            )
+            import dataclasses as _dc
+
+            self.config.model_config = _dc.replace(
+                self.config.model_config, tie_transformer_projections=True
+            )
+
         self.conditioner = conditioner or create_multi_conditioner(
             self.config.conditioner_config
         )
+        t5c = self.config.conditioner_config.t5_config
+        if (
+            conditioner is None
+            and t5c.weights_path is None
+            and t5c.t5_model_name != "tiny-test"
+        ):
+            _warn(
+                "T5 conditioner has no weights_path: the text encoder is "
+                "RANDOM-initialized and prompts will not steer generation. "
+                "Set config.conditioner_config.t5_config.weights_path to a "
+                "converted FLAN-T5 checkpoint for real inference."
+            )
         if codec is None:
             from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
 
-            codec = EncodecModel(encodec_48khz_config())
+            cw = self.config.codec_weights_path
+            if cw is not None:
+                from jen1_tpu.codec.model import (
+                    convert_torch_encodec,
+                    load_torch_encodec_state_dict,
+                )
+
+                ec = encodec_48khz_config()
+                codec = EncodecModel(
+                    ec,
+                    params=convert_torch_encodec(
+                        load_torch_encodec_state_dict(cw), ec
+                    ),
+                )
+            else:
+                _warn(
+                    "no codec_weights_path configured: the EnCodec codec is "
+                    "RANDOM-initialized, so decoded audio will be noise. Set "
+                    "config.codec_weights_path to the pretrained EnCodec-48k "
+                    "state_dict for real inference."
+                )
+                codec = EncodecModel(encodec_48khz_config())
         self.codec = codec
         self.compute_dtype = (
             jnp.bfloat16
@@ -245,22 +303,21 @@ class Jen1:
         # 'scan': whole loop in one XLA program (preferred on real TPU hosts);
         # 'stepwise': one jitted step + host loop, for environments whose
         # compile service rejects very large programs (full-size model).
-        if use_gdm and sampler_mode == "stepwise":
+        # Both diffusion types support both modes (equivalence-tested).
+        if sampler_mode not in ("scan", "stepwise"):
+            raise ValueError(
+                f"sampler_mode must be 'scan' or 'stepwise', got {sampler_mode!r}"
+            )
+        step_kw = {} if use_gdm else {"step": steps}
+        if sampler_mode == "stepwise":
             latents = diffusion.sample(
                 model_fn, shape, conditioning, jax.random.fold_in(rng, 2),
-                causal=causal, init_data=init_data, mode="stepwise",
+                causal=causal, init_data=init_data, mode="stepwise", **step_kw,
             )
-        elif use_gdm:
-            sample_fn = jax.jit(
-                lambda r, c, i: diffusion.sample(
-                    model_fn, shape, c, r, causal=causal, init_data=i
-                )
-            )
-            latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
         else:
             sample_fn = jax.jit(
                 lambda r, c, i: diffusion.sample(
-                    model_fn, shape, c, r, step=steps, causal=causal, init_data=i
+                    model_fn, shape, c, r, causal=causal, init_data=i, **step_kw
                 )
             )
             latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)

@@ -47,19 +47,24 @@ class CheckpointManager:
         *,
         loss: float,
         learning_rate: Optional[float] = None,
+        extra_meta: Optional[Dict[str, Any]] = None,
         wait: bool = True,
     ) -> None:
         """Save a pytree state (e.g. TrainState) with loss/lr metadata
         (reference stores {'model','epoch','optimizer','learning_rate'},
-        script_util.py:85-88)."""
+        script_util.py:85-88). extra_meta rides along in the JSON sidecar
+        (e.g. best_val / data-iterator position for deterministic resume)."""
         metrics = {"loss": float(loss)}
         if learning_rate is not None:
             metrics["learning_rate"] = float(learning_rate)
+        meta = dict(metrics)
+        if extra_meta:
+            meta.update(extra_meta)
         self.manager.save(
             int(step),
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
-                meta=ocp.args.JsonSave(metrics),
+                meta=ocp.args.JsonSave(meta),
             ),
             metrics=metrics,
         )

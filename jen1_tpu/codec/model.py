@@ -148,12 +148,13 @@ class EncodecModel:
             return [(0, total)]
         seg_len = int(cfg.segment * cfg.sample_rate)
         stride = max(1, int((1.0 - cfg.overlap) * seg_len))
-        bounds = []
-        for start in range(0, total, stride):
-            bounds.append((start, min(start + seg_len, total)))
-            if start + seg_len >= total:
-                break
-        return bounds
+        # EnCodec iterates range(0, total, stride) with NO early break — a
+        # trailing sub-stride remainder still yields a (short) segment, and a
+        # total of exactly seg_len yields TWO frames (encodec/model.py encode).
+        return [
+            (start, min(start + seg_len, total))
+            for start in range(0, total, stride)
+        ]
 
     def encode(self, audio: jnp.ndarray):
         """Full EnCodec semantics: per-segment (codes (B, n_q, F), scale)."""
@@ -195,6 +196,21 @@ class EncodecModel:
     def codes_to_latent(self, codes: jnp.ndarray) -> jnp.ndarray:
         return self.quantizer.decode(codes)
 
+    def encode_latent_segmented(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """Reference get_emb pipeline, exactly: segment encode (per-1 s volume
+        normalization when config.normalize), concatenate the RVQ codes across
+        segments (scales dropped), quantizer.decode to one continuous latent.
+
+        Matches dataset/dataloader.py:108-115 & generation.py:145-150: the
+        overlap means consecutive segments contribute overlapping frames and
+        the latent is longer than a whole-clip encode — reference-trained
+        checkpoints expect THIS latent distribution. Whole-clip
+        `encode_latent` is the TPU-native default (static shape, no per-
+        segment normalization)."""
+        frames = self.encode(audio)
+        codes = jnp.concatenate([c for c, _ in frames], axis=-1)
+        return self.quantizer.decode(codes)
+
 
 def _linear_overlap_add(pieces: List[jnp.ndarray], stride: int) -> jnp.ndarray:
     """Triangular-window overlap-add over equal-stride segments."""
@@ -214,6 +230,16 @@ def _linear_overlap_add(pieces: List[jnp.ndarray], stride: int) -> jnp.ndarray:
 
 
 # ----------------------------------------------------------------- convert
+
+
+def load_torch_encodec_state_dict(path: str):
+    """Load a local facebookresearch/encodec state_dict (.pt/.pth/.bin)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
 
 
 def convert_torch_encodec(state_dict, config: EncodecConfig) -> dict:
@@ -250,7 +276,9 @@ def convert_torch_encodec(state_dict, config: EncodecConfig) -> dict:
         if f"{prefix}.convtr.weight_v" in sd:
             v = arr(sd[f"{prefix}.convtr.weight_v"])
             g = arr(sd[f"{prefix}.convtr.weight_g"])
-            norm = np.sqrt((v**2).sum(axis=(0, 2), keepdims=True))
+            # torch weight_norm dim=0: for ConvTranspose1d weight (Cin,Cout,K)
+            # the norm reduces over (Cout, K) per *input* channel, g (Cin,1,1)
+            norm = np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))
             w = g * v / np.maximum(norm, 1e-12)
         else:
             w = arr(sd[f"{prefix}.convtr.weight"])

@@ -40,10 +40,14 @@ def _pad1d(x: jnp.ndarray, left: int, right: int, mode: str = "reflect"):
     if mode == "reflect":
         l = x.shape[1]
         max_pad = max(left, right)
+        extra = 0
         if l <= max_pad:
-            # EnCodec zero-extends tiny inputs before reflecting
-            x = jnp.pad(x, ((0, 0), (0, max_pad - l + 1), (0, 0)))
-        return jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+            # EnCodec zero-extends tiny inputs before reflecting, then trims
+            # the extension back off the end (encodec pad1d).
+            extra = max_pad - l + 1
+            x = jnp.pad(x, ((0, 0), (0, extra), (0, 0)))
+        y = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+        return y[:, : y.shape[1] - extra] if extra else y
     return jnp.pad(x, ((0, 0), (left, right), (0, 0)))
 
 
@@ -124,6 +128,13 @@ class SConvTranspose1d(nn.Module):
         )
         bias = self.param("bias", torch_bias_init(cin), (self.out_channels,))
         y = _raw_convt1d(x, kernel, bias, stride=s, padding=0, output_padding=0)
+        # EnCodec normalizes BEFORE trimming (NormConvTranspose1d applies the
+        # norm inside, SConvTranspose1d unpads after) — GroupNorm statistics
+        # include the to-be-trimmed samples.
+        if self.norm == "time_group_norm":
+            from jen1_tpu.ops.norm import GroupNorm
+
+            y = GroupNorm(num_groups=1, name="norm")(y)
         padding_total = k - s
         if self.causal:
             right = math.ceil(padding_total * self.trim_right_ratio)
@@ -135,10 +146,6 @@ class SConvTranspose1d(nn.Module):
             y = y[:, : y.shape[1] - right]
         if left > 0:
             y = y[:, left:]
-        if self.norm == "time_group_norm":
-            from jen1_tpu.ops.norm import GroupNorm
-
-            y = GroupNorm(num_groups=1, name="norm")(y)
         return y
 
 

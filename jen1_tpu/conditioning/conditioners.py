@@ -180,26 +180,37 @@ class MultiConditioner:
         self,
         conditioners: Dict[str, Conditioner],
         default_keys: Optional[Dict[str, str]] = None,
+        fill_values: Optional[Dict[str, Any]] = None,
     ):
         self.conditioners = conditioners
         self.default_keys = default_keys or {}
+        # Fallback value per conditioner key when a metadata dict lacks it
+        # (e.g. seconds_start=0 for prompt-only metadata). The reference
+        # raises instead (conditioners.py:197) but its factory bug means only
+        # 't5' is ever built, so the raise is unreachable there; here, where
+        # all configured conditioners are real, missing optional keys must
+        # degrade gracefully rather than crash prompt-only generate()/training.
+        self.fill_values = fill_values or {}
 
     def __call__(
         self, batch_metadata: List[Dict[str, Any]]
     ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
         output = {}
         for key, conditioner in self.conditioners.items():
-            condition_key = key
             inputs = []
             for x in batch_metadata:
-                if condition_key not in x:
-                    if condition_key in self.default_keys:
-                        condition_key = self.default_keys[condition_key]
-                    else:
-                        raise ValueError(
-                            f"Conditioner key {condition_key} not found in metadata"
-                        )
-                value = x[condition_key]
+                condition_key = key
+                if condition_key not in x and condition_key in self.default_keys:
+                    condition_key = self.default_keys[condition_key]
+                if condition_key in x:
+                    value = x[condition_key]
+                elif key in self.fill_values:
+                    value = self.fill_values[key]
+                else:
+                    raise ValueError(
+                        f"Conditioner key {condition_key} not found in metadata"
+                        f" and no fill value configured"
+                    )
                 if isinstance(value, (list, tuple)) and len(value) == 1:
                     value = value[0]
                 inputs.append(value)
@@ -212,6 +223,7 @@ def create_multi_conditioner(config) -> MultiConditioner:
     reference returns after the first). config: jen1_tpu.config.ConditionerConfig.
     """
     conditioners: Dict[str, Conditioner] = {}
+    fill_values: Dict[str, Any] = {}
     for ctype in config.conditioning_type:
         if ctype == "t5":
             c = config.t5_config
@@ -222,19 +234,25 @@ def create_multi_conditioner(config) -> MultiConditioner:
                 project_out=c.project_out,
                 weights_path=c.weights_path,
             )
+            # no fill for the prompt: silently conditioning on "" would mask
+            # data bugs; int/number are optional extras (fill with min_val).
         elif ctype == "int":
             c = config.int_config
             conditioners[c.id] = IntConditioner(
                 output_dim=config.cond_dim, min_val=c.min_val, max_val=c.max_val
             )
+            fill_values[c.id] = c.min_val
         elif ctype == "number":
             c = config.number_config
             conditioners[c.id] = NumberConditioner(
                 output_dim=config.cond_dim, min_val=c.min_val, max_val=c.max_val
             )
+            fill_values[c.id] = c.min_val
         else:
             raise NotImplementedError(f"Invalid conditioner type: {ctype}")
-    return MultiConditioner(conditioners, default_keys=config.default_keys)
+    return MultiConditioner(
+        conditioners, default_keys=config.default_keys, fill_values=fill_values
+    )
 
 
 def assemble_conditioning(

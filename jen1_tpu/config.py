@@ -44,7 +44,12 @@ class GDMConfig:
 
     steps: int = 1000
     noise_schedule: str = "linear"  # 'linear' | 'cosine'
-    objective: str = "v"  # 'noise' | 'x0' | 'v'
+    # 'noise' | 'x0' | 'v'. Deliberate divergence from the reference *config*
+    # default 'noise' (utils/config.py:27): the reference *factory* default is
+    # 'v' (utils/script_util.py:218) and the JEN-1 paper trains v-prediction,
+    # so 'v' is the intended objective. Reference .pth imports must use the
+    # objective the checkpoint was trained with.
+    objective: str = "v"
     loss_type: str = "l2"  # 'l1' | 'l2'
     cfg_dropout_proba: float = 0.2
     embedding_scale: float = 0.8
@@ -176,7 +181,13 @@ class ConditionerConfig:
 
     cond_dim: int = 1024
     default_keys: Dict[str, str] = field(default_factory=dict)
-    conditioning_type: Tuple[str, ...] = ("t5", "int", "number")
+    # Default is 't5' only: the reference's *effective* behavior (its factory
+    # bug builds only the first type, utils/script_util.py:156-178), and the
+    # model's conditioning dict only consumes 'prompt' by default anyway
+    # (cross_attn_cond_ids). Add 'int'/'number' explicitly to enable them —
+    # missing metadata keys then fall back to each conditioner's min_val via
+    # MultiConditioner fill_values instead of crashing.
+    conditioning_type: Tuple[str, ...] = ("t5",)
     t5_config: T5Config = field(default_factory=T5Config)
     int_config: IntConfig = field(default_factory=IntConfig)
     number_config: NumberConfig = field(default_factory=NumberConfig)
@@ -200,6 +211,11 @@ class Config:
 
     save_dir: str = ""
     log_dir: str = ""
+    # Local path to the pretrained EnCodec-48k torch state_dict (.pt/.pth/.bin,
+    # facebookresearch/encodec layout). Without it the codec is random-init
+    # and decoded audio is noise — Jen1 warns loudly (reference loads the
+    # pretrained codec via pip, generation.py:34).
+    codec_weights_path: Optional[str] = None
     use_ddp: bool = False  # kept for parity; superseded by `parallel`
     use_fp16: bool = True  # on TPU this selects bf16 compute
     use_ema: bool = False

@@ -189,18 +189,27 @@ def make_dataloader(
     seed: int = 0,
     prefetch: int = 2,
     epochs: Optional[int] = 1,
+    skip_batches: int = 0,
 ) -> Iterator[Tuple[np.ndarray, List[Dict[str, Any]]]]:
     """Yields (stacked_array (B, ...), metadata list). Background-thread
-    prefetch keeps the host loop off the accelerator's critical path."""
+    prefetch keeps the host loop off the accelerator's critical path.
+
+    skip_batches fast-forwards past the first N batches WITHOUT loading their
+    items (deterministic resume: the shuffle order is replayed from the same
+    seed, so batch k after a resume is the batch k of the original run)."""
     rng = np.random.default_rng(seed)
 
     def batches():
         epoch = 0
+        n_skip = skip_batches
         while epochs is None or epoch < epochs:
             order = rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
             for s in range(0, len(order), batch_size):
                 idx = order[s : s + batch_size]
                 if len(idx) < batch_size and drop_last:
+                    continue
+                if n_skip > 0:
+                    n_skip -= 1
                     continue
                 items = [dataset[int(i)] for i in idx]
                 arrays = np.stack([a for a, _ in items])

@@ -186,6 +186,60 @@ class VDM:
             return jnp.concatenate([audio0[None], traj], axis=0)
         return audio
 
+    def p_sample_stepwise(
+        self,
+        model_fn: ModelFn,
+        shape: Tuple[int, ...],
+        conditioning: Conditioning,
+        rng: jax.Array,
+        *,
+        step: int = 100,
+        causal: bool = False,
+        init_data: Optional[jnp.ndarray] = None,
+        compiler_options: Optional[dict] = None,
+    ) -> jnp.ndarray:
+        """v-space sampler with ONE jitted step + a host loop.
+
+        Numerically identical to `p_sample_loop` (same per-step rng folding);
+        the compiled graph is a single denoising step instead of the full
+        scan — see GaussianDiffusion.ddim_sample_stepwise for why (the
+        whole-loop HLO can exceed what a remote compile service accepts)."""
+        import functools
+
+        batch = shape[0]
+        rng_init, rng_loop = jax.random.split(rng)
+        audio = jax.random.normal(rng_init, shape, jnp.float32)
+        if init_data is not None:
+            audio = audio + init_data.astype(jnp.float32)
+        dropout = self.dropout_during_sampling
+
+        @functools.partial(jax.jit, compiler_options=compiler_options)
+        def fwd(audio, t, step_idx, conditioning):
+            step_rng = jax.random.fold_in(rng_loop, step_idx)
+            time_cond = jnp.full((batch,), t, dtype=jnp.float32)
+            return self._call_model(
+                model_fn, audio, time_cond, conditioning,
+                causal=causal, rng=step_rng, dropout=dropout,
+            ).astype(jnp.float32)
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), compiler_options=compiler_options
+        )
+        def update(audio, v_pred, t, t_next):
+            alpha, sigma = alpha_sigma(t)
+            alpha_next, sigma_next = alpha_sigma(t_next)
+            x_pred = alpha * audio - sigma * v_pred
+            noise_pred = sigma * audio + alpha * v_pred
+            return alpha_next * x_pred + sigma_next * noise_pred
+
+        steps = np.linspace(1.0, 0.0, step + 1, dtype=np.float32)
+        for i, (t, t_next) in enumerate(zip(steps[:-1], steps[1:])):
+            t_ = jnp.asarray(t, jnp.float32)
+            tn_ = jnp.asarray(t_next, jnp.float32)
+            v_pred = fwd(audio, t_, jnp.asarray(i, jnp.int32), conditioning)
+            audio = update(audio, v_pred, t_, tn_)
+        return audio
+
     def sample(
         self,
         model_fn: ModelFn,
@@ -197,7 +251,17 @@ class VDM:
         causal: bool = False,
         init_data: Optional[jnp.ndarray] = None,
         return_all_timesteps: bool = False,
+        mode: str = "scan",
+        compiler_options: Optional[dict] = None,
     ) -> jnp.ndarray:
+        """mode: 'scan' (whole loop in one XLA program — call under jit) or
+        'stepwise' (one jitted step + host loop — call OUTSIDE jit)."""
+        if mode == "stepwise":
+            assert not return_all_timesteps
+            return self.p_sample_stepwise(
+                model_fn, shape, conditioning, rng, step=step, causal=causal,
+                init_data=init_data, compiler_options=compiler_options,
+            )
         return self.p_sample_loop(
             model_fn,
             shape,

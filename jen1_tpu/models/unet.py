@@ -68,14 +68,29 @@ class UNet1d(nn.Module):
     use_flash_attention: bool = False
     flash_min_seq_len: int = 512
     remat: bool = False
+    # STFT-domain mode (reference model.py:100-108, 237-263 — note the
+    # reference's own decode call is a typo, `stft.decoded1d`, so its path
+    # crashes; this implements the intent): waveform in/out is transformed to
+    # stacked magnitude+phase channels before the UNet and inverted after.
+    use_stft: bool = False
+    use_stft_context: bool = False
+    stft_num_fft: int = 1023
+    stft_hop_length: int = 256
 
     @property
     def num_layers(self) -> int:
         return len(self.multipliers) - 1
 
     @property
+    def _stft_channels(self) -> int:
+        return (self.stft_num_fft // 2 + 1) * 2
+
+    @property
     def _context_channels_padded(self) -> List[int]:
         cc = list(self.context_channels)
+        if cc and self.use_stft and self.use_stft_context:
+            # context at layer 0 is STFT-encoded too (model.py:106, 200-201)
+            cc[0] = cc[0] * self._stft_channels
         return cc + [0] * (self.num_layers + 1 - len(cc))
 
     @property
@@ -145,6 +160,24 @@ class UNet1d(nn.Module):
         cc = self._context_channels_padded
         use_mapping = self._mapping_features is not None
 
+        stft = None
+        wave_len = x.shape[1]
+        if self.use_stft:
+            from jen1_tpu.ops.stft import STFT
+
+            stft = STFT(
+                num_fft=self.stft_num_fft, hop_length=self.stft_hop_length
+            )
+
+            def enc1d(wave):  # (B, T, C) -> (B, L_frames, C*F*2)
+                out = stft.encode1d(wave.transpose(0, 2, 1))
+                return out.transpose(0, 2, 1).astype(wave.dtype)
+
+            if self.use_stft_context and channels_list is not None:
+                channels_list = [enc1d(c) for c in channels_list]
+            x_dtype = x.dtype
+            x = enc1d(x)
+
         channels = self._get_channels(channels_list, layer=0)
         if channels is not None:
             x = jnp.concatenate([x, channels.astype(x.dtype)], axis=-1)
@@ -191,17 +224,31 @@ class UNet1d(nn.Module):
                 flash_min_seq_len=self.flash_min_seq_len,
                 name=f"downsample{i}",
             )
-            x, skips = block(
-                x,
-                mapping=mapping,
-                channels=channels,
-                embedding=embedding,
-                embedding_mask=embedding_mask,
-                causal=causal,
-            )
+            if self.remat:
+                # jax.checkpoint per block: activations inside the block are
+                # recomputed in the backward pass instead of stored (HBM for
+                # FLOPs). `causal` stays a static Python flag via the closure.
+                def down_call(mdl, x, mapping, channels, embedding,
+                              embedding_mask, _c=causal):
+                    return mdl(x, mapping=mapping, channels=channels,
+                               embedding=embedding,
+                               embedding_mask=embedding_mask, causal=_c)
+
+                x, skips = nn.remat(down_call)(
+                    block, x, mapping, channels, embedding, embedding_mask
+                )
+            else:
+                x, skips = block(
+                    x,
+                    mapping=mapping,
+                    channels=channels,
+                    embedding=embedding,
+                    embedding_mask=embedding_mask,
+                    causal=causal,
+                )
             skips_list.append(skips)
 
-        x = BottleneckBlock1d(
+        bottleneck = BottleneckBlock1d(
             channels=self.channels * self.multipliers[-1],
             num_groups=self.resnet_groups,
             num_transformer_blocks=self.attentions[-1],
@@ -215,13 +262,24 @@ class UNet1d(nn.Module):
             use_flash=self.use_flash_attention,
             flash_min_seq_len=self.flash_min_seq_len,
             name="bottleneck",
-        )(
-            x,
-            mapping=mapping,
-            embedding=embedding,
-            embedding_mask=embedding_mask,
-            causal=causal,
         )
+        if self.remat:
+            def bott_call(mdl, x, mapping, embedding, embedding_mask,
+                          _c=causal):
+                return mdl(x, mapping=mapping, embedding=embedding,
+                           embedding_mask=embedding_mask, causal=_c)
+
+            x = nn.remat(bott_call)(
+                bottleneck, x, mapping, embedding, embedding_mask
+            )
+        else:
+            x = bottleneck(
+                x,
+                mapping=mapping,
+                embedding=embedding,
+                embedding_mask=embedding_mask,
+                causal=causal,
+            )
 
         for j, i in enumerate(reversed(range(n))):
             skips = skips_list.pop()
@@ -248,25 +306,46 @@ class UNet1d(nn.Module):
                 flash_min_seq_len=self.flash_min_seq_len,
                 name=f"upsample{j}",
             )
-            x = block(
-                x,
-                skips=skips,
-                mapping=mapping,
-                embedding=embedding,
-                embedding_mask=embedding_mask,
-                causal=causal,
-            )
+            if self.remat:
+                def up_call(mdl, x, skips, mapping, embedding,
+                            embedding_mask, _c=causal):
+                    return mdl(x, skips=skips, mapping=mapping,
+                               embedding=embedding,
+                               embedding_mask=embedding_mask, causal=_c)
+
+                x = nn.remat(up_call)(
+                    block, x, skips, mapping, embedding, embedding_mask
+                )
+            else:
+                x = block(
+                    x,
+                    skips=skips,
+                    mapping=mapping,
+                    embedding=embedding,
+                    embedding_mask=embedding_mask,
+                    causal=causal,
+                )
 
         (skip0,) = skips_list.pop()
         x, skip0 = _crop_to_common_length(x, skip0)
         x = x + skip0
+        out_channels = self.out_channels or self.in_channels
+        if self.use_stft:
+            out_channels *= self._stft_channels  # reference model.py:105
         x = Unpatcher(
-            out_channels=self.out_channels or self.in_channels,
+            out_channels=out_channels,
             patch_size=self.patch_size,
             use_mapping=use_mapping,
             use_snake=self.use_snake,
             name="to_out",
         )(x, mapping=mapping)
+        if stft is not None:
+            # invert to the waveform domain at the original length (the
+            # reference decodes to closest_power_2(frames*hop) because it
+            # lost the input length; here it is known statically).
+            x = stft.decode1d(
+                x.transpose(0, 2, 1).astype(jnp.float32), length=wave_len
+            ).transpose(0, 2, 1).astype(x_dtype)
         return x
 
 
@@ -307,6 +386,10 @@ class UNetCFG1d(nn.Module):
     use_flash_attention: bool = False
     flash_min_seq_len: int = 512
     remat: bool = False
+    use_stft: bool = False
+    use_stft_context: bool = False
+    stft_num_fft: int = 1023
+    stft_hop_length: int = 256
 
     def setup(self):
         self.unet = UNet1d(
@@ -335,6 +418,10 @@ class UNetCFG1d(nn.Module):
             use_flash_attention=self.use_flash_attention,
             flash_min_seq_len=self.flash_min_seq_len,
             remat=self.remat,
+            use_stft=self.use_stft,
+            use_stft_context=self.use_stft_context,
+            stft_num_fft=self.stft_num_fft,
+            stft_hop_length=self.stft_hop_length,
             name="unet",
         )
         max_length = self.context_embedding_max_length + (
@@ -494,4 +581,8 @@ def unet_from_model_config(mc) -> UNetCFG1d:
         use_flash_attention=mc.use_flash_attention,
         flash_min_seq_len=mc.flash_min_seq_len,
         remat=mc.remat,
+        use_stft=mc.use_stft,
+        use_stft_context=mc.use_stft_context,
+        stft_num_fft=mc.stft_num_fft,
+        stft_hop_length=mc.stft_hop_length,
     )

@@ -31,9 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int, causal: bool,
-    sm_scale: float,
+    sm_scale: float, valid_n: int,
 ):
     # q_ref: (1, block_q, D); k_ref/v_ref: (1, N, D); o_ref: (1, block_q, D)
+    # valid_n: real sequence length; key columns >= valid_n are padding and
+    # masked out (query rows >= valid_n produce garbage that the caller
+    # slices off).
     qi = pl.program_id(1)
     n = k_ref.shape[1]
     d = q_ref.shape[2]
@@ -47,6 +50,8 @@ def _fwd_kernel(
     else:
         num_kb_live = num_kb
 
+    mask_pad = valid_n < n
+
     def body(kb, carry):
         m_prev, l_prev, acc = carry
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
@@ -58,10 +63,14 @@ def _fwd_kernel(
             )
             * sm_scale
         )  # (block_q, block_k)
-        if causal:
+        if causal or mask_pad:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            ok = (qi * block_q + rows) >= (kb * block_k + cols)
+            ok = jnp.ones((block_q, block_k), bool)
+            if causal:
+                ok &= (qi * block_q + rows) >= (kb * block_k + cols)
+            if mask_pad:
+                ok &= (kb * block_k + cols) < valid_n
             s = jnp.where(ok, s, jnp.finfo(jnp.float32).min)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[:, None])
@@ -76,14 +85,16 @@ def _fwd_kernel(
     l0 = jnp.zeros((block_q,), jnp.float32)
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_kb_live, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
 
 
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
+    """Largest block size; n is PADDED up to a multiple (r1 VERDICT #4: the
+    old divisibility requirement made e.g. n=4500 unsupported)."""
     for c in candidates:
-        if n % c == 0:
+        if n >= c:
             return c
-    return 0
+    return candidates[-1]
 
 
 def _flash_forward(
@@ -92,37 +103,41 @@ def _flash_forward(
     b, h, n, d = q.shape
     block_q = _pick_block(n)
     block_k = min(block_q, 512)
+    n_pad = -(-n // block_q) * block_q
     sm_scale = d**-0.5
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
     vf = v.reshape(b * h, n, d)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        qf, kf, vf = (jnp.pad(a, pad) for a in (qf, kf, vf))
 
     kernel = functools.partial(
         _fwd_kernel, block_q=block_q, block_k=block_k, causal=causal,
-        sm_scale=sm_scale,
+        sm_scale=sm_scale, valid_n=n,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b * h, n // block_q),
+        grid=(b * h, n_pad // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda bh, i: (bh, 0, 0),
+            pl.BlockSpec((1, n_pad, d), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda bh, i: (bh, 0, 0),
+            pl.BlockSpec((1, n_pad, d), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
         # Mosaic compiles on TPU; everywhere else (CPU tests) interpret.
         interpret=jax.default_backend() != "tpu",
     )(qf, kf, vf)
-    return out.reshape(b, h, n, d)
+    return out[:, :n].reshape(b, h, n, d)
 
 
 def flash_attention_supported(n: int, d: int) -> bool:
-    return _pick_block(n) > 0 and d <= 256
+    return n >= 128 and d <= 256
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -35,8 +35,8 @@ def make_mesh(
     if dp == -1:
         assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
         dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
-    arr = np.asarray(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"dp({dp}) * tp({tp}) > available devices({n})"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names)
 
 

@@ -23,6 +23,15 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def start_trace(log_dir: str) -> None:
+    """Imperative trace start (spanning loop iterations; pair w/ stop_trace)."""
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_trace() -> None:
+    jax.profiler.stop_trace()
+
+
 @contextlib.contextmanager
 def annotate(name: str) -> Iterator[None]:
     """Named region inside a trace (shows up in the profiler timeline)."""

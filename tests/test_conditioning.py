@@ -110,6 +110,7 @@ class TestConditioners:
         """The reference only ever builds the first type (SURVEY §2.5 #4)."""
         cfg = ConditionerConfig(
             cond_dim=16,
+            conditioning_type=("t5", "int", "number"),
             t5_config=T5Config(t5_model_name="tiny-test", max_length=8),
             int_config=IntConfig(max_val=16),
             number_config=NumberConfig(max_val=100),
@@ -124,6 +125,33 @@ class TestConditioners:
         )
         assert out["prompt"][0].shape == (2, 8, 16)
         assert out["seconds_start"][0].shape == (2, 1, 16)
+
+    def test_prompt_only_metadata_fills_optional_keys(self):
+        """ADVICE r1 (high): prompt-only metadata (the datasets' and
+        generate()'s default) must not crash when int/number conditioners are
+        configured — missing optional keys fall back to min_val."""
+        cfg = ConditionerConfig(
+            cond_dim=16,
+            conditioning_type=("t5", "int", "number"),
+            t5_config=T5Config(t5_model_name="tiny-test", max_length=8),
+            int_config=IntConfig(max_val=16),
+            number_config=NumberConfig(max_val=100),
+        )
+        mc = create_multi_conditioner(cfg)
+        out = mc([{"prompt": "a song"}, {"prompt": ""}])
+        assert out["seconds_start"][0].shape == (2, 1, 16)
+        # fill equals an explicit min_val entry
+        explicit = mc([{"prompt": "a song", "seconds_start": 0},
+                       {"prompt": "", "seconds_start": 0}])
+        np.testing.assert_array_equal(
+            np.asarray(out["seconds_start"][0]),
+            np.asarray(explicit["seconds_start"][0]),
+        )
+
+    def test_default_config_is_t5_only(self):
+        """Default conditioning_type matches the reference's effective
+        behavior (factory bug builds only 't5', script_util.py:156-178)."""
+        assert ConditionerConfig().conditioning_type == ("t5",)
 
     def test_missing_key_raises(self):
         cfg = ConditionerConfig(

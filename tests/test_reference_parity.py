@@ -169,3 +169,114 @@ class TestReferenceParity:
             for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
         }
         assert fresh_paths == imp_paths
+
+
+class TestSamplerTrajectoryParity:
+    """Full multi-step DDIM trajectory vs the reference GaussianDiffusion
+    (gdm.py:181-225) with IDENTICAL injected noise — closes the gap between
+    forward parity and sample parity (BASELINE north star, VERDICT r1 #9).
+
+    The reference sampler draws noise internally (torch.randn at gdm.py:195,
+    torch.randn_like at gdm.py:218); the test precomputes the exact noise
+    arrays our lax.scan sampler derives from its rng folding and feeds them
+    to the reference via monkeypatched torch.randn/randn_like.
+    """
+
+    def test_ddim_trajectory_matches_reference(self, models):
+        import sys
+        from unittest import mock
+
+        import jax
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        import jen1.diffusion.gdm.gdm as ref_gdm_mod
+
+        from jen1_tpu.diffusion.gdm import GaussianDiffusion
+        from jen1_tpu.diffusion.schedules import get_beta_schedule
+
+        ref, ours, params = models
+        steps, sampling = 16, 6
+        betas, alphas = get_beta_schedule("cosine", steps)
+
+        B, L = 2, 24
+        shape = (B, L, MC.in_channels)
+
+        # Reproduce the scan sampler's rng stream on the host.
+        rngkey = jax.random.PRNGKey(42)
+        rng_init, rng_loop = jax.random.split(rngkey)
+        audio0 = np.asarray(jax.random.normal(rng_init, shape, jnp.float32))
+        step_noises = []
+        for i in range(sampling):
+            step_rng = jax.random.fold_in(rng_loop, i)
+            _, rng_noise = jax.random.split(step_rng)
+            step_noises.append(
+                np.asarray(jax.random.normal(rng_noise, shape, jnp.float32))
+            )
+
+        rng = np.random.default_rng(7)
+        emb = rng.normal(
+            size=(B, MC.context_embedding_max_length,
+                  MC.context_embedding_features)
+        ).astype(np.float32)
+        emb_mask = np.ones((B, MC.context_embedding_max_length), dtype=bool)
+        concat = rng.normal(size=(B, L, MC.in_channels + 1)).astype(np.float32)
+
+        # ---- ours: the SHIPPED lax.scan sampler, jitted
+        gdm = GaussianDiffusion(
+            steps=steps, betas=betas, alphas=alphas, objective="v",
+            loss_type="l2", cfg_dropout_proba=0.0, embedding_scale=0.8,
+            batch_cfg=True, scale_cfg=True, sampling_timesteps=sampling,
+            ddim_sampling_eta=1.0,
+        )
+
+        def model_fn(x, t, **kw):
+            return ours.apply(params, x, t, **kw)
+
+        cond = {
+            "cross_attn_cond": jnp.asarray(emb),
+            "cross_attn_masks": jnp.asarray(emb_mask),
+            "global_cond": None,
+            "input_concat_cond": jnp.asarray(concat),
+        }
+        out_ours = np.asarray(
+            jax.jit(
+                lambda r: gdm.ddim_sample(model_fn, shape, cond, r, causal=False)
+            )(rngkey)
+        )
+
+        # ---- reference, with our noise injected
+        ref_diff = ref_gdm_mod.GaussianDiffusion(
+            steps=steps,
+            betas=torch.from_numpy(np.asarray(betas, np.float32)),
+            alphas=(None if alphas is None
+                    else torch.from_numpy(np.asarray(alphas, np.float32))),
+            objective="v", loss_type="l2", device="cpu",
+            cfg_dropout_proba=0.0, embedding_scale=0.8,
+            batch_cfg=True, scale_cfg=True, sampling_timesteps=sampling,
+            ddim_sampling_eta=1.0,
+        )
+        cond_ref = {
+            "cross_attn_cond": torch.from_numpy(emb),
+            "cross_attn_masks": torch.from_numpy(emb_mask),
+            "global_cond": None,
+            "input_concat_cond": torch.from_numpy(concat.transpose(0, 2, 1)),
+        }
+        init_iter = iter([torch.from_numpy(audio0.transpose(0, 2, 1))])
+        noise_iter = iter(
+            [torch.from_numpy(n.transpose(0, 2, 1)) for n in step_noises]
+        )
+        with mock.patch.object(
+            ref_gdm_mod.torch, "randn",
+            side_effect=lambda *a, **k: next(init_iter),
+        ), mock.patch.object(
+            ref_gdm_mod.torch, "randn_like",
+            side_effect=lambda *a, **k: next(noise_iter),
+        ):
+            out_ref = ref_diff.ddim_sample(
+                ref, (B, MC.in_channels, L), cond_ref, causal=False
+            )
+
+        np.testing.assert_allclose(
+            out_ours, out_ref.numpy().transpose(0, 2, 1), rtol=2e-2, atol=2e-3
+        )
