@@ -23,6 +23,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+CHAIN = 50  # applications per dispatch: single-op walls through the axon
+# tunnel are dominated by ~25 ms of per-dispatch round-trip latency, so each
+# measurement chains the op on device (output feeds the next query) and
+# divides by the chain length.
+
+
+def make_chained(attn_fn):
+    def chained(q, k, v):
+        def body(_, acc):
+            return attn_fn(acc, k, v)
+
+        return jax.lax.fori_loop(0, CHAIN, body, q)
+
+    return jax.jit(chained)
+
+
 def timeit(fn, *args, warmup=2, iters=10):
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
@@ -31,7 +47,7 @@ def timeit(fn, *args, warmup=2, iters=10):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return min(ts) / CHAIN
 
 
 def main():
@@ -54,18 +70,24 @@ def main():
             k = jax.random.normal(kk, (B, H, N, D), jnp.bfloat16)
             v = jax.random.normal(kv, (B, H, N, D), jnp.bfloat16)
 
-            xla = jax.jit(
+            xla_one = jax.jit(
+                lambda q, k, v, c=causal: dot_product_attention(q, k, v, causal=c)
+            )
+            xla = make_chained(
                 lambda q, k, v, c=causal: dot_product_attention(q, k, v, causal=c)
             )
             t_xla = timeit(xla, q, k, v)
 
             if N >= 128:
-                flash = jax.jit(
+                flash_one = jax.jit(
+                    lambda q, k, v, c=causal: _flash_forward(q, k, v, c)
+                )
+                flash = make_chained(
                     lambda q, k, v, c=causal: _flash_forward(q, k, v, c)
                 )
                 t_flash = timeit(flash, q, k, v)
-                a = np.asarray(xla(q, k, v), np.float32)
-                b = np.asarray(flash(q, k, v), np.float32)
+                a = np.asarray(xla_one(q, k, v), np.float32)
+                b = np.asarray(flash_one(q, k, v), np.float32)
                 max_err = float(np.max(np.abs(a - b)))
                 rel = np.abs(a - b) / (np.abs(a) + 1e-3)
                 max_rel = float(np.max(rel))
@@ -84,8 +106,12 @@ def main():
         "# Pallas flash attention vs XLA attention — real-TPU microbenchmark",
         "",
         f"Device: {dev.device_kind}; q/k/v bf16 (B={B}, H={H}, D={D});"
-        " min-of-10 wall times after warmup. Numerics: max |abs| / |rel|"
-        " error vs the fp32-softmax XLA path.",
+        f" per-op time = min-of-10 walls of a {CHAIN}-application on-device"
+        " chain / chain length (single-op walls are swamped by ~25 ms of"
+        " tunnel dispatch latency). Numerics: max |abs| / |rel| error vs the"
+        " fp32-softmax XLA path (|rel| is large only where |out| ~ 0; inputs"
+        " are bf16). Sub-us rows mean XLA fused/hoisted the tiny op inside"
+        " the chain - read them as 'too small to matter'.",
         "",
         "| N | causal | XLA (us) | Pallas (us) | speedup | max err (abs/rel) |",
         "|---|---|---|---|---|---|",

@@ -64,20 +64,26 @@ class Jen1:
         # Reference .pth checkpoints tie the 1x1 conv before/after each
         # Transformer1d (blocks.py:510,531,536); importing into an untied
         # model would silently misinterpret the weights.
-        if (
-            ckpt_path is not None
-            and str(ckpt_path).endswith((".pth", ".pt", ".bin"))
-            and not self.config.model_config.tie_transformer_projections
+        if ckpt_path is not None and str(ckpt_path).endswith(
+            (".pth", ".pt", ".bin")
         ):
-            _warn(
-                "reference .pth checkpoint requires "
-                "tie_transformer_projections=True; enabling it."
-            )
-            import dataclasses as _dc
+            if not self.config.model_config.tie_transformer_projections:
+                _warn(
+                    "reference .pth checkpoint requires "
+                    "tie_transformer_projections=True; enabling it."
+                )
+                import dataclasses as _dc
 
-            self.config.model_config = _dc.replace(
-                self.config.model_config, tie_transformer_projections=True
-            )
+                self.config.model_config = _dc.replace(
+                    self.config.model_config, tie_transformer_projections=True
+                )
+            if not self.config.codec_segmented_latents:
+                _warn(
+                    "reference .pth checkpoint was trained on the segmented "
+                    "(per-1s volume-normalized) latent pipeline; enabling "
+                    "codec_segmented_latents."
+                )
+                self.config.codec_segmented_latents = True
 
         self.conditioner = conditioner or create_multi_conditioner(
             self.config.conditioner_config
@@ -200,9 +206,18 @@ class Jen1:
         inpainting_scope: Optional[Tuple[float, float]] = None,
         decode: bool = True,
         sampler_mode: str = "scan",
+        compiler_options: Optional[Dict[str, Any]] = None,
     ):
         """Returns waveform (B, channels, samples) float32 (or the latent
-        (B, 128, frames) when decode=False)."""
+        (B, 128, frames) when decode=False).
+
+        compiler_options defaults to exec_time_optimization_effort=-1.0:
+        measured on v5e, the full-size 100-step scan sampler compiles in
+        ~200 s at low effort (vs >25 min at default effort, which can
+        outlive remote compile services) at ~equal run time (0.56 s/30 s
+        clip). Pass {} to use XLA's default effort."""
+        if compiler_options is None:
+            compiler_options = {"exec_time_optimization_effort": -1.0}
         seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
         rng = jax.random.PRNGKey(seed)
         channels = self.codec.config.channels
@@ -260,7 +275,10 @@ class Jen1:
             raise ValueError(f"unknown task: {task}")
 
         # encode init audio to the latent space (reference get_emb)
-        init_emb = self.codec.encode_latent(jnp.asarray(init_audio))
+        if self.config.codec_segmented_latents:
+            init_emb = self.codec.encode_latent_segmented(jnp.asarray(init_audio))
+        else:
+            init_emb = self.codec.encode_latent(jnp.asarray(init_audio))
         latent_len = init_emb.shape[1]
         latent_dim = init_emb.shape[2]
 
@@ -312,13 +330,15 @@ class Jen1:
         if sampler_mode == "stepwise":
             latents = diffusion.sample(
                 model_fn, shape, conditioning, jax.random.fold_in(rng, 2),
-                causal=causal, init_data=init_data, mode="stepwise", **step_kw,
+                causal=causal, init_data=init_data, mode="stepwise",
+                compiler_options=compiler_options or None, **step_kw,
             )
         else:
             sample_fn = jax.jit(
                 lambda r, c, i: diffusion.sample(
                     model_fn, shape, c, r, causal=causal, init_data=i, **step_kw
-                )
+                ),
+                compiler_options=compiler_options or None,
             )
             latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
 

@@ -120,7 +120,10 @@ class ModelConfig:
     # TPU-native knobs
     dtype: str = "bfloat16"  # compute dtype; params are always fp32
     use_flash_attention: bool = True  # Pallas kernel for long sequences
-    flash_min_seq_len: int = 512  # below this, plain XLA attention wins
+    # Engage the Pallas kernel above this length. Real-v5e microbenchmark
+    # (benchmarks/FLASH_ATTENTION_TPU.md): ~parity at 512, 1.5-1.6x at 1536,
+    # 5-8x at 4500-4608 vs the XLA path.
+    flash_min_seq_len: int = 1024
     # The reference applies the *same* 1x1 conv before and after each
     # Transformer1d's blocks (tied weights — blocks.py:510,531,536). Default
     # unties them; enable for torch-checkpoint import parity.
@@ -216,6 +219,18 @@ class Config:
     # and decoded audio is noise — Jen1 warns loudly (reference loads the
     # pretrained codec via pip, generation.py:34).
     codec_weights_path: Optional[str] = None
+    # Use the reference's exact latent pipeline (per-1s-segment volume
+    # normalization, codes concatenated across 1%-overlapping segments —
+    # dataset/dataloader.py:108-115): reference-trained checkpoints expect
+    # THIS latent distribution/length. Default off: whole-clip encode is the
+    # TPU-native path (static shape, no per-segment normalization). Jen1
+    # auto-enables it when loading a reference .pth.
+    codec_segmented_latents: bool = False
+    # XLA exec_time_optimization_effort for the jitted train/eval steps and
+    # samplers. -1.0 (low effort) measured on v5e: full-size 100-step scan
+    # sampler compiles in ~200 s vs >25 min at default effort, at ~equal run
+    # time. None = XLA default.
+    compile_effort: Optional[float] = -1.0
     use_ddp: bool = False  # kept for parity; superseded by `parallel`
     use_fp16: bool = True  # on TPU this selects bf16 compute
     use_ema: bool = False

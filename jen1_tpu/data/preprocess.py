@@ -50,9 +50,13 @@ def encode(
     channels: int = 2,
     batch_size: int = 8,
     codec=None,
+    segmented: bool = False,
 ) -> None:
     """Encode fixed-length windows of every file to latent .npy, in device
-    batches through the JAX codec."""
+    batches through the JAX codec. segmented=True uses the reference's exact
+    latent pipeline (per-1s volume-normalized segments, codes concatenated —
+    dataloader.py:108-115) for training runs that must match
+    reference-trained checkpoints."""
     import jax.numpy as jnp
 
     from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
@@ -76,7 +80,10 @@ def encode(
         if not pending:
             return
         batch = jnp.asarray(np.stack(pending))
-        latents = np.asarray(codec.encode_latent(batch))
+        if segmented:
+            latents = np.asarray(codec.encode_latent_segmented(batch))
+        else:
+            latents = np.asarray(codec.encode_latent(batch))
         for name, latent in zip(names, latents):
             np.save(os.path.join(out_dir, f"{name}.npy"), latent)
         pending.clear()
@@ -117,6 +124,9 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--sample-duration", type=float, default=10.0)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--segmented", action="store_true",
+                   help="reference-exact latent pipeline (per-1s segment "
+                        "normalization; needed for reference .pth parity)")
     args = p.parse_args()
     if args.command == "scan":
         scan(args.dataset_dir, args.out)
@@ -126,6 +136,7 @@ def main():
             args.out or os.path.join(args.dataset_dir, "latents"),
             sample_duration=args.sample_duration,
             batch_size=args.batch_size,
+            segmented=args.segmented,
         )
 
 

@@ -383,9 +383,12 @@ class GaussianDiffusion:
 
         Numerically identical to `ddim_sample` (same per-step rng folding),
         but the compiled graph is a single denoising step instead of the full
-        scan — the whole-loop HLO can exceed what some compile services
-        accept (observed on tunneled remote compilation); dispatch overhead
-        is hidden by JAX's async dispatch since the carry stays on device.
+        scan. NOTE (measured on v5e, full-size model, 100 steps): the scan
+        sampler jitted with exec_time_optimization_effort=-1.0 compiles in
+        ~200 s and samples a 30 s clip in 0.56 s, while this host loop takes
+        11.3 s — per-step dispatch latency through a tunneled runtime is NOT
+        hidden by async dispatch. Prefer the scan path; keep stepwise only
+        for compilers that reject the whole-loop program.
         """
         batch = shape[0]
         eta = self.ddim_sampling_eta

@@ -112,7 +112,11 @@ def run(
 
     def encode(latents):
         if dc.latents_dir is None:
-            latents = np.asarray(_get_codec().encode_latent(latents))
+            codec = _get_codec()
+            if config.codec_segmented_latents:
+                latents = np.asarray(codec.encode_latent_segmented(latents))
+            else:
+                latents = np.asarray(codec.encode_latent(latents))
         return latents
 
     # State init from a template batch BEFORE the loader is created, so a

@@ -72,6 +72,12 @@ class UnifiedMultiTaskTrainer:
         self.compute_dtype = (
             jnp.bfloat16 if config.model_config.dtype == "bfloat16" else jnp.float32
         )
+        effort = getattr(config, "compile_effort", None)
+        self._compiler_options = (
+            {"exec_time_optimization_effort": float(effort)}
+            if effort is not None
+            else None
+        )
         self._step_cache: Dict[Tuple[bool, ...], Any] = {}
         self._eval_cache: Dict[Tuple[bool, ...], Any] = {}
 
@@ -216,7 +222,10 @@ class UnifiedMultiTaskTrainer:
                 metrics,
             )
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(
+            step_fn, donate_argnums=(0,),
+            compiler_options=self._compiler_options,
+        )
 
     def _build_eval_step(self, causal_flags: Tuple[bool, ...]):
         def eval_fn(state: TrainState, batch, rng):
@@ -233,7 +242,7 @@ class UnifiedMultiTaskTrainer:
                 **{f"loss_{k}/val": v for k, v in per_task.items()},
             }
 
-        return jax.jit(eval_fn)
+        return jax.jit(eval_fn, compiler_options=self._compiler_options)
 
     def _causal_flags(self, rng_host) -> Tuple[bool, ...]:
         """Per-step causal flags; text_guided's is a host-side coin flip

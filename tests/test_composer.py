@@ -1,0 +1,116 @@
+"""Composer multi-track conditioning: masks, layout, end-to-end sampling."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jen1_tpu.config import composer_config, tiny_test_config
+from jen1_tpu.diffusion.gdm import GaussianDiffusion
+from jen1_tpu.diffusion.schedules import get_beta_schedule
+from jen1_tpu.models.composer import (
+    composer_conditioning,
+    generate_tracks,
+    random_track_mask,
+    split_tracks,
+    stack_tracks,
+    track_mask,
+)
+from jen1_tpu.models.unet import unet_from_model_config
+
+
+class TestMasks:
+    def test_track_mask_selects(self):
+        m = track_mask(2, 10, 4, keep_tracks=[1, 3])
+        np.testing.assert_array_equal(np.asarray(m[0, 0]), [0, 1, 0, 1])
+
+    def test_random_mask_never_all_kept(self):
+        for seed in range(20):
+            m = random_track_mask(jax.random.PRNGKey(seed), 1, 4, 3)
+            assert float(m[0, 0].sum()) < 3
+
+    def test_conditioning_masks_channel_groups(self):
+        rng = np.random.default_rng(0)
+        tracks = [jnp.asarray(rng.normal(size=(1, 6, 4)), jnp.float32)
+                  for _ in range(3)]
+        lat = stack_tracks(tracks)
+        m = track_mask(1, 6, 3, keep_tracks=[0, 2])
+        masked, mask_ch = composer_conditioning(lat, m, track_dim=4)
+        a, b, c = split_tracks(masked, 3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(tracks[0]))
+        np.testing.assert_array_equal(np.asarray(b), 0.0)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(tracks[2]))
+        assert mask_ch.shape == (1, 6, 3)
+
+
+@pytest.fixture(scope="module")
+def tiny_composer():
+    """composer topology at tiny dims: 2 tracks x 4 channels."""
+    n_tracks, track_dim = 2, 4
+    cfg = tiny_test_config()
+    mc = dataclasses.replace(
+        cfg.model_config,
+        in_channels=n_tracks * track_dim,
+        out_channels=n_tracks * track_dim,
+        context_channels=(n_tracks * track_dim + n_tracks,),
+    )
+    model = unet_from_model_config(mc)
+    B, L = 1, 32
+    emb = jnp.ones((B, mc.context_embedding_max_length,
+                    mc.context_embedding_features), jnp.float32)
+    emask = jnp.ones((B, mc.context_embedding_max_length), bool)
+    concat = jnp.zeros((B, L, n_tracks * track_dim + n_tracks), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, L, n_tracks * track_dim)),
+        jnp.zeros((B,)),
+        embedding=emb, embedding_mask=emask,
+        channels_list=[concat], causal=False,
+    )
+
+    def model_fn(x, t, **kw):
+        return model.apply(params, x, t, **kw)
+
+    betas, alphas = get_beta_schedule("cosine", 8)
+    gdm = GaussianDiffusion(
+        steps=8, betas=betas, alphas=alphas, objective="v", loss_type="l2",
+        embedding_scale=0.8, batch_cfg=True, scale_cfg=True,
+        sampling_timesteps=3,
+    )
+    text_cond = {"cross_attn_cond": emb, "cross_attn_masks": emask,
+                 "global_cond": None}
+    return model_fn, gdm, text_cond, (n_tracks, track_dim, B, L)
+
+
+class TestGenerateTracks:
+    def test_unconditional_all_tracks(self, tiny_composer):
+        model_fn, gdm, text_cond, (n_tracks, track_dim, B, L) = tiny_composer
+        out = jax.jit(
+            lambda r: generate_tracks(
+                gdm, model_fn, rng=r, n_tracks=n_tracks, track_dim=track_dim,
+                length=L, text_cond=text_cond, batch=B,
+            )
+        )(jax.random.PRNGKey(1))
+        assert out.shape == (B, L, n_tracks * track_dim)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_track_conditional(self, tiny_composer):
+        """Conditioning on track 0 changes the generated output vs a
+        different track-0 context (the conditioning path is live)."""
+        model_fn, gdm, text_cond, (n_tracks, track_dim, B, L) = tiny_composer
+        rng = np.random.default_rng(1)
+        ctx_a = jnp.asarray(rng.normal(size=(B, L, track_dim)), jnp.float32)
+        ctx_b = jnp.asarray(rng.normal(size=(B, L, track_dim)), jnp.float32)
+
+        def gen(ctx):
+            return generate_tracks(
+                gdm, model_fn, rng=jax.random.PRNGKey(2), n_tracks=n_tracks,
+                track_dim=track_dim, length=L, text_cond=text_cond,
+                context_tracks={0: ctx}, batch=B,
+            )
+
+        f = jax.jit(gen)
+        out_a, out_b = f(ctx_a), f(ctx_b)
+        assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
