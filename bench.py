@@ -175,18 +175,33 @@ def child_main() -> None:
     effort = float(os.environ.get("JEN1_BENCH_OPT_EFFORT", "-1.0"))
     OPTS = {"exec_time_optimization_effort": effort} if effort else None
 
+    # Codec decode is part of the measured pipeline (BASELINE: "sample loop +
+    # codec decode"). Weights are random (timing is value-independent).
+    from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
+
+    codec = EncodecModel(encodec_48khz_config())
+    decode = jax.jit(
+        lambda z: codec.decoder.apply(
+            codec.params["decoder"], z.astype(jnp.bfloat16)
+        ),
+        compiler_options=OPTS,
+    )
+
     if mode == "scan":
         # whole 100-step loop in ONE XLA program: no per-step host dispatch
         # (the stepwise path is dispatch-bound through the axon tunnel).
-        sample = jax.jit(
+        sample_latents = jax.jit(
             lambda rng: gdm.sample(model_fn, (B, L, C), cond, rng,
                                    causal=False),
             compiler_options=OPTS,
         )
     else:
-        def sample(rng):
+        def sample_latents(rng):
             return gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
                               mode=mode, compiler_options=OPTS)
+
+    def sample(rng):
+        return decode(sample_latents(rng))
 
     t0 = time.time()
     out = sample(jax.random.PRNGKey(2))

@@ -135,6 +135,9 @@ class Jen1:
         self._params = None
         self._diffusion_cache: Dict[Tuple[int, bool], Any] = {}
         self._sample_cache: Dict[Any, Any] = {}
+        # Optional jax.sharding.Mesh with a 'dp' axis: generate() shards the
+        # batch over it (multi-chip inference; reference has none).
+        self.mesh = None
 
     # ----------------------------------------------------------- weights
 
@@ -194,7 +197,7 @@ class Jen1:
 
     def generate(
         self,
-        prompt: str,
+        prompt,  # str, or a sequence of batch_size per-example prompts
         seed: int = -1,
         steps: int = 100,
         batch_size: int = 1,
@@ -292,7 +295,14 @@ class Jen1:
         masked_emb = init_emb * latent_mask
 
         params = self._load_params(latent_len)
-        cond_out = self.conditioner([{"prompt": prompt} for _ in range(batch_size)])
+        if isinstance(prompt, str):
+            prompts = [prompt] * batch_size
+        else:
+            prompts = list(prompt)
+            assert len(prompts) == batch_size, (
+                f"{len(prompts)} prompts != batch_size {batch_size}"
+            )
+        cond_out = self.conditioner([{"prompt": p} for p in prompts])
         cond_dict = dict(cond_out)
         cond_dict["masked_input"] = masked_emb.astype(self.compute_dtype)
         cond_dict["mask"] = latent_mask.astype(self.compute_dtype)
@@ -302,6 +312,17 @@ class Jen1:
             global_cond_ids=self.global_cond_ids,
             input_concat_ids=self.input_concat_ids,
         )
+
+        if self.mesh is not None:
+            # dp-shard the batch: XLA partitions the sampler across chips
+            from jen1_tpu.parallel.mesh import batch_sharding, shard_batch
+
+            assert batch_size % self.mesh.shape["dp"] == 0, (
+                f"batch_size {batch_size} not divisible by dp "
+                f"{self.mesh.shape['dp']}"
+            )
+            conditioning = shard_batch(conditioning, self.mesh)
+            init_emb = jax.device_put(init_emb, batch_sharding(self.mesh))
 
         diffusion = self._get_diffusion(steps, use_gdm)
         compute_dtype = self.compute_dtype

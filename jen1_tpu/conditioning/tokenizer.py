@@ -60,10 +60,22 @@ class HFTokenizer:
 
 
 def get_tokenizer(model_name_or_path: Optional[str] = None):
-    """Prefer the real T5 tokenizer when its files are available locally."""
+    """Prefer the real T5 tokenizer when its files are available locally;
+    warn loudly on fallback (ADVICE r1: conditioning through the byte
+    tokenizer against T5 weights produces garbage token ids silently)."""
     if model_name_or_path is not None:
         try:
             return HFTokenizer(model_name_or_path)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            import warnings
+
+            warnings.warn(
+                f"jen1_tpu: could not load the HF tokenizer for "
+                f"{model_name_or_path!r} ({type(e).__name__}); falling back "
+                "to the byte-level tokenizer. Token ids will NOT match T5 "
+                "vocabulary — fine for hermetic tests, wrong for pretrained "
+                "T5 weights.",
+                UserWarning,
+                stacklevel=2,
+            )
     return ByteTokenizer()

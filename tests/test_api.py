@@ -98,3 +98,64 @@ class TestGenerate:
         audio, sr = read_wav(path)
         assert sr == 1600
         assert audio.shape == (1600, 2)
+
+
+class TestBatchAndMesh:
+    def test_per_example_prompts(self, jen1):
+        """A sequence of prompts conditions each batch element separately.
+        (Prompts must differ within the tiny max_length=6 byte budget.)"""
+        out = jen1.generate(["abc", "xyz"], seed=7, steps=3,
+                            batch_size=2, seconds=1)
+        assert out.shape == (2, 2, 1600)
+        # different prompts at the same seed -> different audio per element
+        same = jen1.generate(["abc", "abc"], seed=7, steps=3,
+                             batch_size=2, seconds=1)
+        assert not np.array_equal(out[1], same[1])
+        np.testing.assert_allclose(out[0], same[0], rtol=1e-4, atol=1e-5)
+
+    def test_prompt_count_mismatch_raises(self, jen1):
+        with pytest.raises(AssertionError, match="prompts"):
+            jen1.generate(["a", "b", "c"], steps=3, batch_size=2, seconds=1)
+
+    def test_dp_mesh_generate(self, jen1):
+        """Batch sharded over a dp mesh matches the unsharded result."""
+        import jax
+
+        from jen1_tpu.parallel.mesh import make_mesh
+
+        ref = jen1.generate("mesh parity", seed=9, steps=3, batch_size=2,
+                            seconds=1)
+        jen1.mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+        try:
+            out = jen1.generate("mesh parity", seed=9, steps=3, batch_size=2,
+                                seconds=1)
+        finally:
+            jen1.mesh = None
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_batch_generate_cli(self, jen1, tmp_path):
+        """The batch-generation CLI writes one wav per prompt + manifest."""
+        import json
+        import sys
+        from unittest import mock
+
+        prompts = tmp_path / "prompts.txt"
+        prompts.write_text("first tune\nsecond tune\nthird tune\n")
+        out_dir = tmp_path / "out"
+        argv = ["batch_generate", "--prompts", str(prompts), "--out",
+                str(out_dir), "--seconds", "1", "--steps", "3",
+                "--batch-size", "2"]
+        from jen1_tpu.api import batch_generate
+
+        import jen1_tpu.api.generation as gen_mod
+
+        with mock.patch.object(sys, "argv", argv), \
+             mock.patch.object(gen_mod, "Jen1", lambda *a, **k: jen1):
+            batch_generate.main()
+        files = sorted(p.name for p in out_dir.iterdir())
+        assert "manifest.json" in files
+        wavs = [f for f in files if f.endswith(".wav")]
+        assert len(wavs) == 3
+        manifest = json.loads((out_dir / "manifest.json").read_text())
+        assert [m["prompt"] for m in manifest] == [
+            "first tune", "second tune", "third tune"]
