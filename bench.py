@@ -119,7 +119,7 @@ def child_main() -> None:
         mc.context_embedding_features,
         mc.in_channels,
     )
-    steps = 100
+    steps = int(os.environ.get("JEN1_BENCH_STEPS", "100"))
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((B, L, C), jnp.bfloat16)
@@ -187,12 +187,17 @@ def child_main() -> None:
         compiler_options=OPTS,
     )
 
-    if mode == "scan":
-        # whole 100-step loop in ONE XLA program: no per-step host dispatch
+    if mode in ("scan", "dpm++"):
+        # whole loop in ONE XLA program: no per-step host dispatch
         # (the stepwise path is dispatch-bound through the axon tunnel).
+        # dpm++ additionally cuts the model-call count 3-5x at equal quality
+        # (diffusion/dpm_solver.py) — run with JEN1_BENCH_MODE=dpm++
+        # JEN1_BENCH_STEPS=25 for the accelerated-sampler number.
         sample_latents = jax.jit(
-            lambda rng: gdm.sample(model_fn, (B, L, C), cond, rng,
-                                   causal=False),
+            lambda rng: gdm.sample(
+                model_fn, (B, L, C), cond, rng, causal=False,
+                mode="dpm++" if mode == "dpm++" else "scan",
+            ),
             compiler_options=OPTS,
         )
     else:

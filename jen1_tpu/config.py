@@ -145,6 +145,9 @@ class OptimizerConfig:
     lr_start_factor: float = 1.0 / 3.0
     lr_end_factor: float = 1.0
     lr_total_iters: int = 5
+    # Non-finite gradients skip the update instead of poisoning params/
+    # moments (optax.apply_if_finite; bf16-training failure containment).
+    skip_nonfinite_updates: bool = True
 
 
 @dataclass

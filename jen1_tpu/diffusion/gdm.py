@@ -474,12 +474,22 @@ class GaussianDiffusion:
     ) -> jnp.ndarray:
         """Dispatch DDIM iff sampling_timesteps < steps (gdm.py:227-230).
 
-        mode: 'scan' (whole loop in one XLA program — call under jit) or
-        'stepwise' (one jitted step + host loop — call OUTSIDE jit).
+        mode: 'scan' (whole loop in one XLA program — call under jit),
+        'stepwise' (one jitted step + host loop — call OUTSIDE jit), or
+        'dpm++' (DPM-Solver++(2M) — ~100-step-DDIM quality in 20-30 calls;
+        beyond-reference, diffusion/dpm_solver.py).
         compiler_options (stepwise only): e.g.
         {"exec_time_optimization_effort": -1.0} trades ~8% step time for
         ~15x faster XLA compiles — valuable on hosts with slow or flaky
         remote compile services."""
+        if mode == "dpm++":
+            assert not return_all_timesteps
+            from jen1_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
+
+            return dpm_solver_pp_2m(
+                self, model_fn, shape, conditioning, rng,
+                causal=causal, init_data=init_data,
+            )
         if mode == "stepwise":
             assert self.is_ddim_sampling, "stepwise mode implements DDIM"
             assert not return_all_timesteps

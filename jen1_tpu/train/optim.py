@@ -36,6 +36,12 @@ def make_optimizer(
             weight_decay=opt_config.weight_decay,
         ),
     )
+    if getattr(opt_config, "skip_nonfinite_updates", True):
+        # Failure containment for bf16 training (SURVEY §5: the reference has
+        # none): a non-finite gradient skips the update (params/moments
+        # untouched) instead of poisoning the state; errors only after many
+        # consecutive bad steps.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     if grad_accum_every > 1:
         # Micro-batch gradient accumulation: updates become no-ops except on
         # every k-th step, where the averaged gradient is applied.

@@ -222,3 +222,49 @@ class TestStepwiseSampler:
                               mode="stepwise")
         np.testing.assert_allclose(np.asarray(scan_out), np.asarray(step_out),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestDPMSolver:
+    """DPM-Solver++(2M) solves the same probability-flow ODE as eta=0 DDIM:
+    both converge to the same sample as step counts grow, and the solver
+    gets there with far fewer model calls (its purpose)."""
+
+    def _sample(self, tiny_model, mode, sampling, eta=0.0, seed=21):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=64, sampling=sampling,
+                       embedding_scale=0.8, batch_cfg=True, scale_cfg=True,
+                       ddim_sampling_eta=eta)
+        rng = jax.random.PRNGKey(seed)
+        if mode == "dpm++":
+            out = jax.jit(
+                lambda r: gdm.sample(model_fn, shape, cond, r, mode="dpm++")
+            )(rng)
+        else:
+            out = jax.jit(
+                lambda r: gdm.ddim_sample(model_fn, shape, cond, r)
+            )(rng)
+        return np.asarray(out)
+
+    def test_converges_to_ddim_ode_solution(self, tiny_model):
+        ref = self._sample(tiny_model, "ddim", sampling=63)  # near-exact ODE
+        dpm = self._sample(tiny_model, "dpm++", sampling=16)
+        ddim_16 = self._sample(tiny_model, "ddim", sampling=16)
+        scale = np.abs(ref).mean()
+        err_dpm = np.abs(dpm - ref).mean() / scale
+        err_ddim = np.abs(ddim_16 - ref).mean() / scale
+        # at equal budget the 2nd-order solver tracks the ODE much tighter
+        assert err_dpm < err_ddim * 0.7, (err_dpm, err_ddim)
+        assert err_dpm < 0.15, err_dpm
+
+    def test_deterministic_given_rng(self, tiny_model):
+        a = self._sample(tiny_model, "dpm++", sampling=8, seed=5)
+        b = self._sample(tiny_model, "dpm++", sampling=8, seed=5)
+        np.testing.assert_array_equal(a, b)
+        c = self._sample(tiny_model, "dpm++", sampling=8, seed=6)
+        assert not np.allclose(a, c)
+
+    def test_shapes_and_finite(self, tiny_model):
+        out = self._sample(tiny_model, "dpm++", sampling=4)
+        _, _, shape = tiny_model
+        assert out.shape == shape
+        assert np.isfinite(out).all()

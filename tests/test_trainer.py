@@ -223,3 +223,27 @@ class TestEvaluate:
         assert np.isfinite(m["loss/val"])
         # same rng, different graph: the two variants genuinely differ
         assert m["loss_text_guided_bidir/val"] != m["loss_text_guided_causal/val"]
+
+
+class TestNonFiniteGuard:
+    def test_nan_grad_skips_update(self):
+        """A poisoned batch must not poison params (optax.apply_if_finite)."""
+        cfg, trainer = make_trainer()
+        batch = make_batch(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+
+        bad = dict(batch)
+        bad["latents"] = batch["latents"].at[0, 0, 0].set(jnp.nan)
+        state, m = trainer.train_step(
+            state, bad, jax.random.PRNGKey(1), np.random.default_rng(1))
+        assert not np.isfinite(float(m["loss/train"]))
+        # params unchanged by the bad step
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(state.params)[0]), p0)
+        # and a good step still updates
+        state, m = trainer.train_step(
+            state, batch, jax.random.PRNGKey(2), np.random.default_rng(2))
+        assert np.isfinite(float(m["loss/train"]))
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(state.params)[0]), p0)
