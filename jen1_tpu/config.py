@@ -208,6 +208,10 @@ class ParallelConfig:
 
     dp: int = -1  # -1: all devices
     tp: int = 1
+    # ZeRO-3-style parameter+optimizer sharding over the dp axis (params
+    # all-gathered at use, grads reduce-scattered — XLA GSPMD collectives);
+    # composes with tp.
+    fsdp: bool = False
     mesh_axis_names: Tuple[str, ...] = ("dp", "tp")
 
 

@@ -69,7 +69,9 @@ _TP_RULES = (
 )
 
 
-def _spec_for_path(path: str, shape: Tuple[int, ...], tp_size: int) -> P:
+def _spec_for_path(
+    path: str, shape: Tuple[int, ...], tp_size: int, fsdp_size: int = 1
+) -> P:
     if tp_size > 1:
         for pattern, spec in _TP_RULES:
             if pattern.search(path):
@@ -80,12 +82,26 @@ def _spec_for_path(path: str, shape: Tuple[int, ...], tp_size: int) -> P:
                         ok = False
                 if ok:
                     return spec
+    if fsdp_size > 1:
+        # FSDP/ZeRO-3 over the dp axis: shard the largest divisible dim of
+        # every remaining parameter; XLA all-gathers it at use and
+        # reduce-scatters its gradient (GSPMD handles the collectives).
+        best = max(
+            (d for d, n in enumerate(shape) if n % fsdp_size == 0 and n > 1),
+            key=lambda d: shape[d],
+            default=None,
+        )
+        if best is not None:
+            return P(*(("dp" if d == best else None) for d in range(len(shape))))
     return P()
 
 
-def param_shardings(params, mesh: Mesh):
-    """NamedSharding pytree for a flax params dict under the TP rules."""
+def param_shardings(params, mesh: Mesh, fsdp: bool = False):
+    """NamedSharding pytree for a flax params dict: Megatron TP rules on the
+    attention/FFN projections, plus (fsdp=True) ZeRO-3-style sharding of all
+    remaining params over the dp axis."""
     tp_size = mesh.shape.get("tp", 1)
+    fsdp_size = mesh.shape.get("dp", 1) if fsdp else 1
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(kp):
@@ -97,7 +113,7 @@ def param_shardings(params, mesh: Mesh):
     specs = {}
     for kp, leaf in flat:
         specs[jax.tree_util.keystr(kp)] = NamedSharding(
-            mesh, _spec_for_path(path_str(kp), leaf.shape, tp_size)
+            mesh, _spec_for_path(path_str(kp), leaf.shape, tp_size, fsdp_size)
         )
 
     def assign(kp, leaf):
@@ -106,7 +122,7 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_params(params, mesh: Mesh):
-    """device_put params with TP shardings (replicated when tp == 1)."""
-    sh = param_shardings(params, mesh)
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    """device_put params with TP (+ optional FSDP) shardings."""
+    sh = param_shardings(params, mesh, fsdp=fsdp)
     return jax.tree.map(jax.device_put, params, sh)

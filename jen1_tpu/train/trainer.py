@@ -108,8 +108,11 @@ class UnifiedMultiTaskTrainer:
             # TP for free (VERDICT r1 weak #4).
             from jen1_tpu.parallel.mesh import param_shardings, replicated
 
+            fsdp = getattr(self.config.parallel_config, "fsdp", False)
             params = jax.tree.map(
-                jax.device_put, params, param_shardings(params, self.mesh)
+                jax.device_put,
+                params,
+                param_shardings(params, self.mesh, fsdp=fsdp),
             )
             opt_state = self.optimizer.init(params)
             step = jax.device_put(

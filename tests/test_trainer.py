@@ -247,3 +247,44 @@ class TestNonFiniteGuard:
         assert np.isfinite(float(m["loss/train"]))
         assert not np.allclose(
             np.asarray(jax.tree.leaves(state.params)[0]), p0)
+
+
+class TestFSDP:
+    def test_fsdp_shards_and_matches_replicated(self):
+        """fsdp=True: every sizable param is dp-sharded (ZeRO-3 memory), the
+        optimizer moments follow, and one train step matches the replicated
+        run numerically (GSPMD inserts the gathers/scatters)."""
+        from jen1_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(dp=4, tp=2)
+        cfg, trainer = make_trainer(mesh=mesh, batch=12)
+        cfg.parallel_config.fsdp = True
+        batch = make_batch(cfg, B=12)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+        replicated_big = [
+            jax.tree_util.keystr(kp)
+            for kp, leaf in flat
+            if leaf.size >= 64 and leaf.sharding.is_fully_replicated
+        ]
+        assert not replicated_big, replicated_big[:5]
+
+        sharded_batch = shard_batch(batch, mesh)
+        state, m = trainer.train_step(
+            state, sharded_batch, jax.random.PRNGKey(7),
+            np.random.default_rng(7))
+        loss_fsdp = float(m["loss/train"])
+        assert np.isfinite(loss_fsdp)
+
+        # replicated baseline: same rngs, same batch
+        cfg2, trainer2 = make_trainer(mesh=mesh, batch=12)
+        state2 = trainer2.init_state(jax.random.PRNGKey(0), batch)
+        state2, m2 = trainer2.train_step(
+            state2, shard_batch(batch, mesh), jax.random.PRNGKey(7),
+            np.random.default_rng(7))
+        np.testing.assert_allclose(loss_fsdp, float(m2["loss/train"]),
+                                   rtol=1e-5)
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(state2.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
