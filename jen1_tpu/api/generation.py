@@ -314,15 +314,28 @@ class Jen1:
         )
 
         if self.mesh is not None:
-            # dp-shard the batch: XLA partitions the sampler across chips
-            from jen1_tpu.parallel.mesh import batch_sharding, shard_batch
+            # dp-shard the batch; with an sp axis > 1 the latent LENGTH is
+            # additionally sharded (GSPMD partitions the UNet spatially,
+            # inserting conv halo exchanges — long-form multi-chip sampling)
+            from jen1_tpu.parallel.mesh import (
+                batch_sharding,
+                seq_sharding,
+                shard_batch,
+            )
 
             assert batch_size % self.mesh.shape["dp"] == 0, (
                 f"batch_size {batch_size} not divisible by dp "
                 f"{self.mesh.shape['dp']}"
             )
             conditioning = shard_batch(conditioning, self.mesh)
-            init_emb = jax.device_put(init_emb, batch_sharding(self.mesh))
+            if self.mesh.shape.get("sp", 1) > 1:
+                sp_sh = seq_sharding(self.mesh)
+                conditioning["input_concat_cond"] = jax.device_put(
+                    conditioning["input_concat_cond"], sp_sh
+                )
+                init_emb = jax.device_put(init_emb, sp_sh)
+            else:
+                init_emb = jax.device_put(init_emb, batch_sharding(self.mesh))
 
         diffusion = self._get_diffusion(steps, use_gdm)
         compute_dtype = self.compute_dtype

@@ -208,11 +208,15 @@ class ParallelConfig:
 
     dp: int = -1  # -1: all devices
     tp: int = 1
+    # sequence-parallel axis: the latent LENGTH dimension is sharded and
+    # GSPMD partitions the UNet spatially (conv halo exchanges inserted by
+    # XLA) — for long-form latents that exceed one chip.
+    sp: int = 1
     # ZeRO-3-style parameter+optimizer sharding over the dp axis (params
     # all-gathered at use, grads reduce-scattered — XLA GSPMD collectives);
     # composes with tp.
     fsdp: bool = False
-    mesh_axis_names: Tuple[str, ...] = ("dp", "tp")
+    mesh_axis_names: Tuple[str, ...] = ("dp", "sp", "tp")
 
 
 @dataclass

@@ -27,16 +27,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     dp: int = -1,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence[Any]] = None,
-    axis_names: Tuple[str, str] = ("dp", "tp"),
+    axis_names: Tuple[str, str, str] = ("dp", "sp", "tp"),
 ) -> Mesh:
+    """dp: batch axis. sp: sequence axis (GSPMD spatially partitions the
+    UNet's length dimension incl. conv halo exchanges — long-form latents).
+    tp: Megatron tensor axis."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp <= n, f"dp({dp}) * tp({tp}) > available devices({n})"
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+        assert n % (tp * sp) == 0, f"{n} devices not divisible by tp*sp"
+        dp = n // (tp * sp)
+    used = dp * sp * tp
+    assert used <= n, f"dp*sp*tp({used}) > available devices({n})"
+    arr = np.asarray(devices[:used]).reshape(dp, sp, tp)
     return Mesh(arr, axis_names)
 
 
@@ -47,6 +52,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over dp, everything else replicated."""
     return NamedSharding(mesh, P("dp"))
+
+
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, L, C): batch over dp, length over sp — for latent-like tensors."""
+    return NamedSharding(mesh, P("dp", "sp"))
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -79,7 +79,7 @@ def run(
     logger = get_logger(config.log_dir)
     metrics_logger = MetricLogger(config.log_dir)
     pc = config.parallel_config
-    mesh = make_mesh(dp=pc.dp, tp=pc.tp)
+    mesh = make_mesh(dp=pc.dp, tp=pc.tp, sp=getattr(pc, "sp", 1))
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     dc = config.dataset_config

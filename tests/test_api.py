@@ -159,3 +159,20 @@ class TestBatchAndMesh:
         manifest = json.loads((out_dir / "manifest.json").read_text())
         assert [m["prompt"] for m in manifest] == [
             "first tune", "second tune", "third tune"]
+
+    def test_sp_mesh_generate(self, jen1):
+        """Sequence-parallel sampling (latent length sharded over 'sp';
+        GSPMD partitions the UNet spatially) matches the unsharded result."""
+        import jax
+
+        from jen1_tpu.parallel.mesh import make_mesh
+
+        ref = jen1.generate("sp parity", seed=11, steps=3, batch_size=1,
+                            seconds=1)
+        jen1.mesh = make_mesh(dp=1, sp=4, tp=1, devices=jax.devices()[:4])
+        try:
+            out = jen1.generate("sp parity", seed=11, steps=3, batch_size=1,
+                                seconds=1)
+        finally:
+            jen1.mesh = None
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
