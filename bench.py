@@ -32,11 +32,18 @@ import tempfile
 import time
 
 
+def _metric_name() -> str:
+    steps = os.environ.get("JEN1_BENCH_STEPS", "100")
+    mode = os.environ.get("JEN1_BENCH_MODE", "scan")
+    sampler = "dpmpp" if mode == "dpm++" else "ddim"
+    return f"audio_sec_generated_per_sec_per_chip_{steps}step_{sampler}"
+
+
 def _emit(value: float) -> None:
     print(
         json.dumps(
             {
-                "metric": "audio_sec_generated_per_sec_per_chip_100step_ddim",
+                "metric": _metric_name(),
                 "value": round(float(value), 3),
                 "unit": "audio_s/s/chip",
                 "vs_baseline": round(float(value) / 10.0, 3),

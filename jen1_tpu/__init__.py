@@ -15,10 +15,21 @@ Design notes (TPU-first, not a port):
     100-step DDIM loop runs on-device with zero host round-trips
     (reference runs a Python loop: jen1/diffusion/gdm/gdm.py:202).
   * mixed precision: fp32 params, bf16 compute, fp32 softmax/normalization.
-  * parallelism via `jax.sharding.Mesh` + NamedSharding (data-parallel batch
-    axis first-class; reference only supports DDP: train.py:30,88).
+  * parallelism via `jax.sharding.Mesh` + NamedSharding: dp batch axis,
+    Megatron tp on attention/FFN, ZeRO-3 fsdp over dp, and an sp axis that
+    GSPMD-partitions the latent length (reference only attempts DDP:
+    train.py:30,88).
+  * beyond-reference: DPM-Solver++(2M) sampler, Composer multi-track
+    conditioning, VGGish FAD, batch/multi-chip inference CLI.
+
+Quick start:
+
+    from jen1_tpu.api.generation import Jen1, save_audio
+    jen1 = Jen1("path/to/ckpt")          # orbax dir or reference .pth
+    audio = jen1.generate("a beautiful song", steps=100, seconds=30)
+    save_audio(audio, "sample.wav")
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from jen1_tpu import config as config  # noqa: F401

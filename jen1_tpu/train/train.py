@@ -210,6 +210,11 @@ def main():
     p.add_argument("--save-dir", default=None)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    p.add_argument("--tp", type=int, default=None, help="tensor-parallel size")
+    p.add_argument("--sp", type=int, default=None, help="sequence-parallel size")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3 param/optimizer sharding over dp")
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 2-4 into log_dir")
@@ -224,6 +229,14 @@ def main():
         config.save_dir = args.save_dir
     if args.log_dir:
         config.log_dir = args.log_dir
+    if args.dp is not None:
+        config.parallel_config.dp = args.dp
+    if args.tp is not None:
+        config.parallel_config.tp = args.tp
+    if args.sp is not None:
+        config.parallel_config.sp = args.sp
+    if args.fsdp:
+        config.parallel_config.fsdp = True
     run(config, distributed=args.distributed, max_steps=args.max_steps,
         profile=args.profile)
 
