@@ -179,7 +179,11 @@ def child_main() -> None:
     # served from the persistent cache afterwards. stepwise remains as the
     # fallback for hosts whose compiler rejects the whole-loop program.
     mode = os.environ.get("JEN1_BENCH_MODE", "scan")
-    effort = float(os.environ.get("JEN1_BENCH_OPT_EFFORT", "-1.0"))
+    # Default-effort XLA (measured on v5e, full-size 100-step scan): compile
+    # ~250 s — the same ballpark as exec_time_optimization_effort=-1.0 — but
+    # the compiled program runs ~4x faster (0.22 s vs 0.85 s per 30 s clip).
+    # Set JEN1_BENCH_OPT_EFFORT=-1.0 for hosts whose compiler is slower.
+    effort = float(os.environ.get("JEN1_BENCH_OPT_EFFORT", "0"))
     OPTS = {"exec_time_optimization_effort": effort} if effort else None
 
     # Codec decode is part of the measured pipeline (BASELINE: "sample loop +

@@ -214,13 +214,18 @@ class Jen1:
         """Returns waveform (B, channels, samples) float32 (or the latent
         (B, 128, frames) when decode=False).
 
-        compiler_options defaults to exec_time_optimization_effort=-1.0:
-        measured on v5e, the full-size 100-step scan sampler compiles in
-        ~200 s at low effort (vs >25 min at default effort, which can
-        outlive remote compile services) at ~equal run time (0.56 s/30 s
-        clip). Pass {} to use XLA's default effort."""
+        compiler_options defaults to config.compile_effort (None = XLA
+        default effort — measured on v5e: compile ~250 s and ~4x faster
+        programs than low effort). Pass
+        {"exec_time_optimization_effort": -1.0} on hosts whose compiler is
+        pathologically slow at default effort."""
         if compiler_options is None:
-            compiler_options = {"exec_time_optimization_effort": -1.0}
+            effort = getattr(self.config, "compile_effort", None)
+            compiler_options = (
+                {"exec_time_optimization_effort": float(effort)}
+                if effort is not None
+                else {}
+            )
         seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
         rng = jax.random.PRNGKey(seed)
         channels = self.codec.config.channels

@@ -152,67 +152,107 @@ class SConvTranspose1d(nn.Module):
 class SLSTM(nn.Module):
     """2-layer LSTM over time with skip connection (EnCodec SLSTM).
 
-    Implemented as lax.scan over the sequence with fused gate matmuls —
-    matches torch.nn.LSTM gate ordering (i, f, g, o) for weight import.
+    Matches torch.nn.LSTM gate ordering (i, f, g, o) for weight import.
+
+    TPU implementation: the 2-layer case runs both layers PIPELINED in one
+    lax.scan — iteration t computes layer-1 at time t and layer-2 at time
+    t-1, whose three small (B,H)x(H,4H) matmuls (l1 recurrent, l2 recurrent,
+    l2 input) are batched into ONE (3,B,H)x(3,H,4H) contraction. The
+    sequential critical path is one cell per time step instead of two
+    back-to-back scans — the LSTM is THE latency floor of whole-clip codec
+    encode/decode (a 30 s clip is a 4500-step chain).
     """
 
     hidden: int
     num_layers: int = 2
     skip: bool = True
 
+    def _params_for(self, layer: int, in_dim: int):
+        w_ih = self.param(
+            f"l{layer}_w_ih", torch_bias_init(self.hidden),
+            (in_dim, 4 * self.hidden),
+        )
+        w_hh = self.param(
+            f"l{layer}_w_hh", torch_bias_init(self.hidden),
+            (self.hidden, 4 * self.hidden),
+        )
+        b_ih = self.param(
+            f"l{layer}_b_ih", torch_bias_init(self.hidden), (4 * self.hidden,)
+        )
+        b_hh = self.param(
+            f"l{layer}_b_hh", torch_bias_init(self.hidden), (4 * self.hidden,)
+        )
+        return w_ih, w_hh, b_ih, b_hh
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from jen1_tpu.ops.conv import matmul_precision
+
         b, l, c = x.shape
-        y = x
-        for layer in range(self.num_layers):
-            in_dim = c if layer == 0 else self.hidden
-            w_ih = self.param(
-                f"l{layer}_w_ih",
-                torch_bias_init(self.hidden),
-                (in_dim, 4 * self.hidden),
-            )
-            w_hh = self.param(
-                f"l{layer}_w_hh",
-                torch_bias_init(self.hidden),
-                (self.hidden, 4 * self.hidden),
-            )
-            b_ih = self.param(
-                f"l{layer}_b_ih", torch_bias_init(self.hidden), (4 * self.hidden,)
-            )
-            b_hh = self.param(
-                f"l{layer}_b_hh", torch_bias_init(self.hidden), (4 * self.hidden,)
-            )
+        prec = matmul_precision(jnp.float32)
 
-            # Precompute input projections for the whole sequence (one big
-            # MXU matmul) — the scan only does the small recurrent matmul.
-            from jen1_tpu.ops.conv import matmul_precision
+        def lstm_gates(gates, cst):
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+            cst = f * cst + i * jnp.tanh(g)
+            return o * jnp.tanh(cst), cst
 
-            prec = matmul_precision(jnp.float32)
+        if self.num_layers == 2 and c == self.hidden:
+            w_ih0, w_hh0, b_ih0, b_hh0 = self._params_for(0, c)
+            w_ih1, w_hh1, b_ih1, b_hh1 = self._params_for(1, self.hidden)
+            # big MXU matmul for the whole layer-1 input projection
             xi = (
-                jnp.einsum(
-                    "blc,ch->blh", y.astype(jnp.float32), w_ih, precision=prec
-                )
-                + b_ih + b_hh
+                jnp.einsum("blc,ch->blh", x.astype(jnp.float32), w_ih0,
+                           precision=prec)
+                + b_ih0 + b_hh0
+            ).transpose(1, 0, 2)  # (L, B, 4H)
+            xi = jnp.concatenate(
+                [xi, jnp.zeros((1, b, 4 * self.hidden), jnp.float32)], axis=0
             )
-
-            def cell(carry, xt):
-                h, cst = carry
-                gates = xt + jnp.dot(h, w_hh, precision=prec)
-                i, f, g, o = jnp.split(gates, 4, axis=-1)
-                i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
-                g = jnp.tanh(g)
-                cst = f * cst + i * g
-                h = o * jnp.tanh(cst)
-                return (h, cst), h
-
+            ws = jnp.stack([w_hh0, w_hh1, w_ih1])  # (3, H, 4H)
+            bias2 = b_ih1 + b_hh1
             h0 = jnp.zeros((b, self.hidden), jnp.float32)
-            # unroll: the recurrent body is a tiny matmul, so per-iteration
-            # loop overhead dominates a 4500-step scan on TPU; unrolling
-            # amortizes it (measured on the 48k decoder LSTM).
-            (_, _), hs = jax.lax.scan(
-                cell, (h0, h0), xi.transpose(1, 0, 2), unroll=8
+
+            def cell(carry, inputs):
+                h1, c1, h2, c2, out1_prev = carry
+                xt, t = inputs
+                stacked = jnp.stack([h1, h2, out1_prev])  # (3, B, H)
+                mm = jnp.einsum("lbh,lhk->lbk", stacked, ws, precision=prec)
+                h1n, c1n = lstm_gates(xt + mm[0], c1)
+                h2n, c2n = lstm_gates(mm[1] + mm[2] + bias2, c2)
+                # layer-2 must not update before its first real input (t==0)
+                live = t > 0
+                h2n = jnp.where(live, h2n, h2)
+                c2n = jnp.where(live, c2n, c2)
+                return (h1n, c1n, h2n, c2n, h1n), h2n
+
+            ts = jnp.arange(l + 1)
+            _, hs = jax.lax.scan(
+                cell, (h0, h0, h0, h0, h0), (xi, ts), unroll=4
             )
-            y = hs.transpose(1, 0, 2).astype(x.dtype)
+            y = hs[1:].transpose(1, 0, 2).astype(x.dtype)  # drop warmup row
+        else:
+            y = x
+            for layer in range(self.num_layers):
+                in_dim = c if layer == 0 else self.hidden
+                w_ih, w_hh, b_ih, b_hh = self._params_for(layer, in_dim)
+                xi = (
+                    jnp.einsum("blc,ch->blh", y.astype(jnp.float32), w_ih,
+                               precision=prec)
+                    + b_ih + b_hh
+                )
+
+                def cell(carry, xt, _w=w_hh):
+                    h, cst = carry
+                    gates = xt + jnp.dot(h, _w, precision=prec)
+                    h, cst = lstm_gates(gates, cst)
+                    return (h, cst), h
+
+                h0 = jnp.zeros((b, self.hidden), jnp.float32)
+                (_, _), hs = jax.lax.scan(
+                    cell, (h0, h0), xi.transpose(1, 0, 2), unroll=4
+                )
+                y = hs.transpose(1, 0, 2).astype(x.dtype)
         return (y + x) if self.skip else y
 
 

@@ -238,10 +238,11 @@ class Config:
     # auto-enables it when loading a reference .pth.
     codec_segmented_latents: bool = False
     # XLA exec_time_optimization_effort for the jitted train/eval steps and
-    # samplers. -1.0 (low effort) measured on v5e: full-size 100-step scan
-    # sampler compiles in ~200 s vs >25 min at default effort, at ~equal run
-    # time. None = XLA default.
-    compile_effort: Optional[float] = -1.0
+    # samplers. None (XLA default) measured on v5e for the full-size
+    # 100-step scan sampler: compile ~250 s and the program runs ~4x faster
+    # than at -1.0 (0.22 s vs 0.85 s per 30 s clip) — low effort only saves
+    # compile time on pathological hosts; set -1.0 there.
+    compile_effort: Optional[float] = None
     use_ddp: bool = False  # kept for parity; superseded by `parallel`
     use_fp16: bool = True  # on TPU this selects bf16 compute
     use_ema: bool = False
