@@ -171,13 +171,11 @@ def child_main() -> None:
         "input_concat_cond": concat,
     }
 
-    # scan = the whole 100-step loop in ONE XLA program: measured 0.56 s for
-    # a 30 s clip on v5e (53 audio_s/s) vs 11.3 s stepwise — the stepwise
-    # host loop is dispatch-bound through the axon tunnel. Round 1 believed
-    # the scan compile killed the remote compile service; with
-    # exec_time_optimization_effort=-1.0 it compiles in ~200 s (cold) and is
-    # served from the persistent cache afterwards. stepwise remains as the
-    # fallback for hosts whose compiler rejects the whole-loop program.
+    # scan = the whole 100-step loop in ONE XLA program: measured 0.22 s
+    # incl. decode for a 30 s clip on v5e vs 11.3 s stepwise — the stepwise
+    # host loop is dispatch-bound through the axon tunnel. stepwise remains
+    # as the fallback for hosts whose compiler rejects the whole-loop
+    # program (~250-350 s compile at default effort here).
     mode = os.environ.get("JEN1_BENCH_MODE", "scan")
     # Default-effort XLA (measured on v5e, full-size 100-step scan): compile
     # ~250 s — the same ballpark as exec_time_optimization_effort=-1.0 — but
@@ -201,7 +199,7 @@ def child_main() -> None:
     if mode in ("scan", "dpm++"):
         # whole loop in ONE XLA program: no per-step host dispatch
         # (the stepwise path is dispatch-bound through the axon tunnel).
-        # dpm++ additionally cuts the model-call count 3-5x at equal quality
+        # dpm++ cuts the model-call count 3-5x at equal quality
         # (diffusion/dpm_solver.py) — run with JEN1_BENCH_MODE=dpm++
         # JEN1_BENCH_STEPS=25 for the accelerated-sampler number.
         sample_latents = jax.jit(

@@ -384,11 +384,11 @@ class GaussianDiffusion:
         Numerically identical to `ddim_sample` (same per-step rng folding),
         but the compiled graph is a single denoising step instead of the full
         scan. NOTE (measured on v5e, full-size model, 100 steps): the scan
-        sampler jitted with exec_time_optimization_effort=-1.0 compiles in
-        ~200 s and samples a 30 s clip in 0.56 s, while this host loop takes
-        11.3 s — per-step dispatch latency through a tunneled runtime is NOT
-        hidden by async dispatch. Prefer the scan path; keep stepwise only
-        for compilers that reject the whole-loop program.
+        sampler compiles in ~250 s at default effort and samples a 30 s clip
+        in 0.22 s, while this host loop takes 11.3 s — per-step dispatch
+        latency through a tunneled runtime is NOT hidden by async dispatch.
+        Prefer the scan path; keep stepwise only for compilers that reject
+        the whole-loop program.
         """
         batch = shape[0]
         eta = self.ddim_sampling_eta
@@ -478,10 +478,10 @@ class GaussianDiffusion:
         'stepwise' (one jitted step + host loop — call OUTSIDE jit), or
         'dpm++' (DPM-Solver++(2M) — ~100-step-DDIM quality in 20-30 calls;
         beyond-reference, diffusion/dpm_solver.py).
-        compiler_options (stepwise only): e.g.
-        {"exec_time_optimization_effort": -1.0} trades ~8% step time for
-        ~15x faster XLA compiles — valuable on hosts with slow or flaky
-        remote compile services."""
+        compiler_options (stepwise only): passed to the per-step jits; e.g.
+        {"exec_time_optimization_effort": -1.0} for hosts with
+        pathologically slow compilers (default effort is otherwise both
+        faster-running and similarly fast to compile — measured on v5e)."""
         if mode == "dpm++":
             assert not return_all_timesteps
             from jen1_tpu.diffusion.dpm_solver import dpm_solver_pp_2m

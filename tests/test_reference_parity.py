@@ -280,3 +280,54 @@ class TestSamplerTrajectoryParity:
         np.testing.assert_allclose(
             out_ours, out_ref.numpy().transpose(0, 2, 1), rtol=2e-2, atol=2e-3
         )
+
+
+class TestTorchExportRoundtrip:
+    def test_export_import_roundtrip(self, models):
+        """export -> reference state_dict -> import reproduces the exact
+        param tree (both directions of the framework switch)."""
+        import jax
+
+        from jen1_tpu.ckpt.torch_export import export_reference_unet
+
+        _, _, params = models
+        sd = export_reference_unet(params, MC)
+        back = convert_reference_unet(sd, MC)
+        flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_b = dict(
+            (jax.tree_util.keystr(kp), leaf)
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(back)[0]
+        )
+        assert len(flat_a) == len(flat_b)
+        for kp, leaf in flat_a:
+            key = jax.tree_util.keystr(kp)
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(flat_b[key]), err_msg=key
+            )
+
+    def test_exported_loads_into_reference_model(self, models):
+        """The exported state_dict load_state_dict's into the actual torch
+        reference model with strict=True."""
+        from jen1_tpu.ckpt.torch_export import export_reference_unet
+
+        ref, _, params = models
+        sd = export_reference_unet(params, MC)
+        missing, unexpected = ref.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected[:5]
+        assert not missing, missing[:5]
+
+    def test_save_and_jen1_load(self, models, tmp_path):
+        """save_reference_checkpoint writes a .pth the torch importer (and
+        therefore Jen1) reads back."""
+        from jen1_tpu.ckpt.torch_export import save_reference_checkpoint
+        from jen1_tpu.ckpt.torch_import import load_reference_checkpoint
+
+        _, _, params = models
+        path = str(tmp_path / "export.pth")
+        save_reference_checkpoint(path, params, MC, epoch=3, learning_rate=1e-4)
+        loaded, epoch, lr = load_reference_checkpoint(path, MC)
+        assert epoch == 3 and abs(lr - 1e-4) < 1e-12
+        a = np.asarray(
+            loaded["params"]["unet"]["to_mapping_1"]["kernel"])
+        b = np.asarray(params["params"]["unet"]["to_mapping_1"]["kernel"])
+        np.testing.assert_array_equal(a, b)
