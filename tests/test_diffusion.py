@@ -268,3 +268,34 @@ class TestDPMSolver:
         _, _, shape = tiny_model
         assert out.shape == shape
         assert np.isfinite(out).all()
+
+
+class TestObjectiveCoverage:
+    """All three objectives ('noise' | 'x0' | 'v') through DDIM and DPM++."""
+
+    @pytest.mark.parametrize("objective", ["noise", "x0", "v"])
+    def test_ddim_and_dpmpp_run_all_objectives(self, tiny_model, objective):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm(objective, steps=16, sampling=4,
+                       embedding_scale=0.8, batch_cfg=True, scale_cfg=True)
+        out = jax.jit(
+            lambda r: gdm.ddim_sample(model_fn, shape, cond, r)
+        )(jax.random.PRNGKey(31))
+        assert np.isfinite(np.asarray(out)).all()
+        out2 = jax.jit(
+            lambda r: gdm.sample(model_fn, shape, cond, r, mode="dpm++")
+        )(jax.random.PRNGKey(31))
+        assert np.isfinite(np.asarray(out2)).all()
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    @pytest.mark.parametrize("objective", ["noise", "x0"])
+    def test_training_losses_other_objectives(self, tiny_model, objective):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm(objective, steps=16)
+        x0 = jax.random.normal(jax.random.PRNGKey(32), shape)
+        t = jnp.asarray([2, 9, 14])
+        loss = jax.jit(
+            lambda x: gdm.training_losses(model_fn, x, t, cond,
+                                          jax.random.PRNGKey(33))
+        )(x0)
+        assert np.isfinite(float(loss))
