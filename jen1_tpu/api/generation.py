@@ -53,10 +53,14 @@ class Jen1:
         config: Optional[Config] = None,
         codec=None,
         conditioner=None,
+        use_ema_params: bool = False,
     ):
         self.ckpt_path = ckpt_path
         self.sample_rate = sample_rate
         self.config = config or Config()
+        # sample from the EMA weights (standard for diffusion) when the
+        # checkpoint carries them (TrainState.ema_params, use_ema training)
+        self.use_ema_params = use_ema_params
         self.cross_attn_cond_ids = tuple(cross_attn_cond_ids)
         self.global_cond_ids = tuple(global_cond_ids)
         self.input_concat_ids = tuple(input_concat_ids)
@@ -175,7 +179,14 @@ class Jen1:
             restored = mngr.restore()
             assert restored is not None, f"no checkpoint in {self.ckpt_path}"
             state, _ = restored
-            params = state["params"] if "params" in state else state
+            if self.use_ema_params:
+                params = state.get("ema_params")
+                assert params is not None, (
+                    "use_ema_params=True but the checkpoint has no "
+                    "ema_params (train with config.use_ema=True)"
+                )
+            else:
+                params = state["params"] if "params" in state else state
             self._params = {"params": params}
         return self._params
 

@@ -176,3 +176,51 @@ class TestBatchAndMesh:
         finally:
             jen1.mesh = None
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestEMAInference:
+    def test_use_ema_params(self, jen1, tmp_path):
+        """Jen1(use_ema_params=True) samples from the checkpoint's EMA
+        weights (standard diffusion practice; the reference has only a dead
+        use_ema flag, config.py:90)."""
+        import copy
+
+        import jax
+        import jax.numpy as jnp
+
+        from jen1_tpu.ckpt.checkpoint import CheckpointManager
+        from jen1_tpu.diffusion.gdm import create_gaussian_diffusion
+        from jen1_tpu.models.unet import unet_from_model_config
+        from jen1_tpu.train.trainer import UnifiedMultiTaskTrainer
+
+        cfg = copy.deepcopy(jen1.config)
+        cfg.use_ema = True
+        cfg.grad_accum_every = 1
+        mc = cfg.model_config
+        model = unet_from_model_config(mc)
+        gdm = create_gaussian_diffusion(cfg.diffusion_config.gaussian_diffusion)
+        trainer = UnifiedMultiTaskTrainer(cfg, model, gdm)
+        rng = np.random.default_rng(0)
+        batch = {
+            "latents": jnp.asarray(rng.normal(size=(3, 40, 8)), jnp.float32),
+            "text_emb": jnp.asarray(
+                rng.normal(size=(3, mc.context_embedding_max_length,
+                                 mc.context_embedding_features)), jnp.float32),
+            "text_mask": jnp.ones((3, mc.context_embedding_max_length), bool),
+        }
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, _ = trainer.train_step(
+            state, batch, jax.random.PRNGKey(1), np.random.default_rng(1))
+        ckpt_dir = str(tmp_path / "ck")
+        CheckpointManager(ckpt_dir).save(1, state, loss=1.0)
+
+        def make(use_ema):
+            return Jen1(ckpt_dir, sample_rate=1600, config=copy.deepcopy(cfg),
+                        codec=jen1.codec, conditioner=jen1.conditioner,
+                        use_ema_params=use_ema)
+
+        out_ema = make(True).generate("ema check", seed=3, steps=2, seconds=1)
+        out_raw = make(False).generate("ema check", seed=3, steps=2, seconds=1)
+        assert np.isfinite(out_ema).all()
+        # one optimizer step moved params away from their EMA
+        assert not np.array_equal(out_ema, out_raw)
