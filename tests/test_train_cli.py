@@ -87,3 +87,17 @@ class TestTrainCLI:
                 res_losses[step], full_losses[step], rtol=1e-5,
                 err_msg=f"resumed trajectory diverged at step {step}",
             )
+
+    def test_profile_flag_writes_trace(self, latents_dir):
+        """--profile captures a jax.profiler trace of steps 2-4 (SURVEY §5:
+        absent in the reference)."""
+        cfg = _config(latents_dir, "profiled")
+        run(cfg, max_steps=5, profile=True)
+        import glob
+
+        traces = glob.glob(
+            os.path.join(cfg.log_dir, "**", "*.trace.json.gz"), recursive=True
+        ) + glob.glob(
+            os.path.join(cfg.log_dir, "**", "*.xplane.pb"), recursive=True
+        )
+        assert traces, os.listdir(cfg.log_dir)
