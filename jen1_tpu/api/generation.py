@@ -410,6 +410,62 @@ class Jen1:
         audio = self.codec.decode_latent(latents)
         return np.asarray(audio).transpose(0, 2, 1)  # (B, ch, T)
 
+    def generate_long(
+        self,
+        prompt,
+        total_seconds: float,
+        *,
+        window_seconds: float = 30.0,
+        context_seconds: float = 10.0,
+        fade_seconds: float = 0.05,
+        seed: int = -1,
+        steps: int = 100,
+        batch_size: int = 1,
+        use_gdm: bool = False,
+        sampler_mode: str = "scan",
+    ):
+        """Arbitrary-length generation by chaining music_cont windows: the
+        first window is text_guided; each next window conditions on the last
+        `context_seconds` of audio so far and extends by
+        (window_seconds - context_seconds). All continuation windows share
+        one compiled graph (fixed shapes); window boundaries are stitched
+        with a short crossfade. Returns (B, channels, total_samples).
+
+        Beyond-reference capability: the reference can only continue once
+        from a user-provided clip (generation.py:97-110); this composes the
+        same task into open-ended long-form synthesis."""
+        assert context_seconds < window_seconds, "context must be < window"
+        seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
+        sr = self.sample_rate
+        ctx_len = int(context_seconds * sr)
+        fade = max(1, int(fade_seconds * sr))
+
+        audio = self.generate(
+            prompt, seed=seed, steps=steps, batch_size=batch_size,
+            seconds=window_seconds, use_gdm=use_gdm,
+            sampler_mode=sampler_mode,
+        )  # (B, ch, T)
+        audio = np.asarray(audio)
+        total = int(total_seconds * sr)
+        widx = 0
+        while audio.shape[-1] < total:
+            widx += 1
+            ctx = audio[..., -ctx_len:].transpose(0, 2, 1)  # (B, T, ch)
+            out = np.asarray(self.generate(
+                prompt, seed=seed + widx, steps=steps, batch_size=batch_size,
+                seconds=window_seconds, use_gdm=use_gdm, task="music_cont",
+                init_audio=ctx, init_audio_sr=sr, sampler_mode=sampler_mode,
+            ))  # (B, ch, window) — first ctx_len samples are conditioned
+            new_tail = out[..., ctx_len - fade:]
+            ramp = np.linspace(0.0, 1.0, fade, dtype=np.float32)
+            head = (
+                audio[..., -fade:] * (1.0 - ramp) + new_tail[..., :fade] * ramp
+            )
+            audio = np.concatenate(
+                [audio[..., :-fade], head, new_tail[..., fade:]], axis=-1
+            )
+        return audio[..., :total]
+
     @staticmethod
     def _get_mask(
         sample_length: int,

@@ -224,3 +224,29 @@ class TestEMAInference:
         assert np.isfinite(out_ema).all()
         # one optimizer step moved params away from their EMA
         assert not np.array_equal(out_ema, out_raw)
+
+
+class TestGenerateLong:
+    def test_long_form_chained_windows(self, jen1):
+        """generate_long chains text_guided + music_cont windows into
+        arbitrary-length audio (3 windows at tiny scale)."""
+        out = jen1.generate_long(
+            "an endless tune", total_seconds=2.5, window_seconds=1.0,
+            context_seconds=0.5, seed=13, steps=2,
+        )
+        assert out.shape == (1, 2, int(2.5 * 1600))
+        assert np.isfinite(out).all()
+
+    def test_long_form_deterministic(self, jen1):
+        a = jen1.generate_long("looped", total_seconds=1.5,
+                               window_seconds=1.0, context_seconds=0.5,
+                               seed=14, steps=2)
+        b = jen1.generate_long("looped", total_seconds=1.5,
+                               window_seconds=1.0, context_seconds=0.5,
+                               seed=14, steps=2)
+        np.testing.assert_array_equal(a, b)
+
+    def test_context_must_be_shorter(self, jen1):
+        with pytest.raises(AssertionError, match="context"):
+            jen1.generate_long("x", total_seconds=2, window_seconds=1,
+                               context_seconds=1, steps=2)
