@@ -251,10 +251,18 @@ def child_main() -> None:
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_fwd = float(cost.get("flops", 0.0))
-        peak = 197e12 if "v5" in jax.devices()[0].device_kind.lower() else 275e12
+        is_v5e = "v5" in jax.devices()[0].device_kind.lower()
+        peak = 197e12 if is_v5e else 275e12
+        hbm_bw = 8.19e11 if is_v5e else 1.2e12  # v5e: 819 GB/s
+        # This model is MEMORY-bound, not FLOPs-bound (33 GFLOP/forward vs
+        # 600 MB of bf16 weights read per forward): the meaningful roofline
+        # is HBM bandwidth, reported as the fraction of peak implied by one
+        # weight read per denoiser forward.
+        hbm_frac = n_params * 2.0 * steps / best / hbm_bw
         note(
             f"fwd_flops={flops_fwd:.3e} "
-            f"mfu={flops_fwd * steps / best / peak:.3f}"
+            f"mfu={flops_fwd * steps / best / peak:.3f} "
+            f"hbm_util>={hbm_frac:.2f} (weights-read bound)"
         )
     except Exception as e:  # noqa: BLE001
         note(f"mfu unavailable: {type(e).__name__}: {e}")
