@@ -331,3 +331,82 @@ class TestTorchExportRoundtrip:
             loaded["params"]["unet"]["to_mapping_1"]["kernel"])
         b = np.asarray(params["params"]["unet"]["to_mapping_1"]["kernel"])
         np.testing.assert_array_equal(a, b)
+
+
+class TestVDMTrajectoryParity:
+    """VDM (the generate() DEFAULT diffusion) full-loop parity.
+
+    The reference VDM sampler cannot run as written: p_sample indexes its
+    alpha table with the float time VALUE (vdm.py:52-54, SURVEY §2.5 #10)
+    and feeds the model a 0-d time tensor. The test therefore drives the
+    reference's verbatim update equations (x_pred/noise_pred/x mix,
+    vdm.py:53-55) with only those two mechanical fixes applied, injected
+    with OUR sampler's exact initial noise — locking our scan sampler to the
+    reference's intended math through the real torch model incl. CFG.
+    """
+
+    def test_vdm_trajectory_matches_reference_intent(self, models):
+        import math
+
+        import jax
+
+        from jen1_tpu.diffusion.vdm import VDM
+
+        ref, ours, params = models
+        steps = 6
+        B, L = 2, 24
+        shape = (B, L, MC.in_channels)
+
+        rngkey = jax.random.PRNGKey(77)
+        rng_init, _ = jax.random.split(rngkey)
+        audio0 = np.asarray(jax.random.normal(rng_init, shape, jnp.float32))
+
+        rng = np.random.default_rng(8)
+        emb = rng.normal(
+            size=(B, MC.context_embedding_max_length,
+                  MC.context_embedding_features)).astype(np.float32)
+        emb_mask = np.ones((B, MC.context_embedding_max_length), dtype=bool)
+        concat = rng.normal(size=(B, L, MC.in_channels + 1)).astype(np.float32)
+
+        # ---- ours: the SHIPPED lax.scan sampler
+        vdm = VDM(loss_type="l2", cfg_dropout_proba=0.0, embedding_scale=0.8,
+                  batch_cfg=True, scale_cfg=True)
+
+        def model_fn(x, t, **kw):
+            return ours.apply(params, x, t, **kw)
+
+        cond = {
+            "cross_attn_cond": jnp.asarray(emb),
+            "cross_attn_masks": jnp.asarray(emb_mask),
+            "global_cond": None,
+            "input_concat_cond": jnp.asarray(concat),
+        }
+        out_ours = np.asarray(jax.jit(
+            lambda r: vdm.sample(model_fn, shape, cond, r, step=steps)
+        )(rngkey))
+
+        # ---- reference equations (vdm.py:53-55) through the torch model
+        x = torch.from_numpy(audio0.transpose(0, 2, 1))
+        grid = np.linspace(1.0, 0.0, steps + 1, dtype=np.float32)
+        with torch.no_grad():
+            for i in range(steps):
+                t_val, t_next = float(grid[i]), float(grid[i + 1])
+                time_cond = torch.full((B,), t_val)
+                v_pred = ref(
+                    x, time_cond,
+                    embedding=torch.from_numpy(emb),
+                    embedding_mask=torch.from_numpy(emb_mask),
+                    embedding_scale=0.8,
+                    embedding_mask_proba=0.0,
+                    channels_list=[torch.from_numpy(concat.transpose(0, 2, 1))],
+                    batch_cfg=True, scale_cfg=True, causal=False,
+                )
+                a_s, s_s = math.cos(t_val * math.pi / 2), math.sin(t_val * math.pi / 2)
+                a_t, s_t = math.cos(t_next * math.pi / 2), math.sin(t_next * math.pi / 2)
+                x_pred = a_s * x - s_s * v_pred
+                noise_pred = s_s * x + a_s * v_pred
+                x = a_t * x_pred + s_t * noise_pred
+
+        np.testing.assert_allclose(
+            out_ours, x.numpy().transpose(0, 2, 1), rtol=2e-2, atol=2e-3
+        )
