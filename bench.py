@@ -189,12 +189,19 @@ def child_main() -> None:
     from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
 
     codec = EncodecModel(encodec_48khz_config())
-    decode = jax.jit(
-        lambda z: codec.decoder.apply(
-            codec.params["decoder"], z.astype(jnp.bfloat16)
-        ),
-        compiler_options=OPTS,
-    )
+    decode_mode = os.environ.get("JEN1_BENCH_DECODE", "chunked")
+    if decode_mode == "chunked":
+        # EnCodec-48k's own 1 s-segment semantics, batched: the whole-clip
+        # decoder LSTM is a 4500-step sequential lax.scan; 150-frame chunks
+        # cut the chain 30x and batch the 31 chunks (codec/model.py).
+        decode = lambda z: codec.decode_latent_chunked(z.astype(jnp.bfloat16))  # noqa: E731
+    else:
+        decode = jax.jit(
+            lambda z: codec.decoder.apply(
+                codec.params["decoder"], z.astype(jnp.bfloat16)
+            ),
+            compiler_options=OPTS,
+        )
 
     if mode in ("scan", "dpm++"):
         # whole loop in ONE XLA program: no per-step host dispatch

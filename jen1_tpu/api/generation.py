@@ -220,10 +220,18 @@ class Jen1:
         inpainting_scope: Optional[Tuple[float, float]] = None,
         decode: bool = True,
         sampler_mode: str = "scan",
+        decode_mode: str = "chunked",
         compiler_options: Optional[Dict[str, Any]] = None,
     ):
         """Returns waveform (B, channels, samples) float32 (or the latent
         (B, 128, frames) when decode=False).
+
+        decode_mode: "chunked" (default) decodes 1 s latent chunks as one
+        batched decoder call + overlap-add — EnCodec-48k's own segmented
+        semantics, and the TPU fast path (the whole-clip decoder LSTM is a
+        length-F sequential chain). "whole" decodes the full clip in one
+        LSTM pass, byte-matching the reference's `audio_encoder.decoder(...)`
+        call (generation.py:130).
 
         compiler_options defaults to config.compile_effort (None = XLA
         default effort — measured on v5e: compile ~250 s and ~4x faster
@@ -407,7 +415,14 @@ class Jen1:
 
         if not decode:
             return np.asarray(latents).transpose(0, 2, 1)  # (B, 128, F)
-        audio = self.codec.decode_latent(latents)
+        if decode_mode == "chunked":
+            audio = self.codec.decode_latent_chunked(latents)
+        elif decode_mode == "whole":
+            audio = self.codec.decode_latent(latents)
+        else:
+            raise ValueError(
+                f"decode_mode must be 'chunked' or 'whole', got {decode_mode!r}"
+            )
         return np.asarray(audio).transpose(0, 2, 1)  # (B, ch, T)
 
     def generate_long(

@@ -120,6 +120,7 @@ class EncodecModel:
                 p["codebooks"], frame_rate=config.frame_rate
             ).quantize_latent(z)
         )
+        self._chunked_jit: dict = {}
 
     # ------------------------------------------------------------ direct
 
@@ -193,6 +194,44 @@ class EncodecModel:
             return pieces[0]
         return _linear_overlap_add(pieces, stride)
 
+    def decode_latent_chunked(
+        self,
+        latent: jnp.ndarray,
+        chunk_frames: int = 150,
+        hop_frames: int = 148,
+    ) -> jnp.ndarray:
+        """latent (B, F, D) -> audio (B, F*hop_length, ch), decoding
+        overlapping latent chunks as ONE batched decoder call + triangular
+        overlap-add.
+
+        The EnCodec-48k release processes audio in independent 1 s segments
+        with 1% overlap (its `segment`/`overlap` config; encodec/model.py
+        _encode_frame/_decode_frame) — chunked decode is therefore inside the
+        model's design envelope, not an approximation bolted on. On TPU it is
+        the fast path: whole-clip decode of a 30 s latent is serialized by
+        the decoder LSTM (a 4500-step lax.scan chain), while 150-frame chunks
+        cut the sequential chain 30x and turn the 31 chunks into LSTM/conv
+        batch — MXU-friendly. Defaults mirror EnCodec's 1 s segment / 1%
+        overlap (150-frame chunks, 2-frame = 640-sample crossfade).
+        """
+        b, f, d = latent.shape
+        hop = self.config.hop_length
+        if f <= chunk_frames:
+            return self.decode_latent(latent)[:, : f * hop]
+        n = max(1, math.ceil((f - chunk_frames) / hop_frames) + 1)
+        pad = (n - 1) * hop_frames + chunk_frames - f
+        key = (chunk_frames, hop_frames, n, b)
+        fn = self._chunked_jit.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda p, z: _decode_chunked(
+                    self.decoder, p, z, chunk_frames, hop_frames, n, hop
+                )
+            )
+            self._chunked_jit[key] = fn
+        audio = fn(self.params, jnp.pad(latent, ((0, 0), (0, pad), (0, 0))))
+        return audio[:, : f * hop]
+
     def codes_to_latent(self, codes: jnp.ndarray) -> jnp.ndarray:
         return self.quantizer.decode(codes)
 
@@ -210,6 +249,37 @@ class EncodecModel:
         frames = self.encode(audio)
         codes = jnp.concatenate([c for c, _ in frames], axis=-1)
         return self.quantizer.decode(codes)
+
+
+def _decode_chunked(decoder, params, latent, chunk_frames, hop_frames, n, hop):
+    """Batched chunk decode + triangular overlap-add, all inside one jit.
+
+    latent is padded to (n-1)*hop_frames + chunk_frames. Chunks are gathered
+    into a (n*B, chunk_frames, D) batch, decoded in one decoder call, then
+    recombined with the same triangular weighting as EnCodec's
+    _linear_overlap_add.
+    """
+    b, _, d = latent.shape  # (B, F, D)
+    starts = jnp.arange(n) * hop_frames  # (n,)
+    idx = starts[:, None] + jnp.arange(chunk_frames)[None, :]  # (n, Fc)
+    chunks = latent[:, idx]  # (B, n, Fc, D)
+    chunks = chunks.reshape(b * n, chunk_frames, d)
+    audio = decoder.apply(params["decoder"], chunks)  # (B*n, Fc*hop, ch)
+    ch = audio.shape[-1]
+    seg_len = chunk_frames * hop
+    audio = audio[:, :seg_len].reshape(b, n, seg_len, ch).astype(jnp.float32)
+
+    # triangular weights (EnCodec _linear_overlap_add)
+    t = jnp.linspace(0.0, 1.0, seg_len + 2)[1:-1]
+    w = (0.5 - jnp.abs(t - 0.5))[None, :, None]
+    stride = hop_frames * hop
+    total = stride * (n - 1) + seg_len
+    out = jnp.zeros((b, total, ch), jnp.float32)
+    norm = jnp.zeros((1, total, 1), jnp.float32)
+    for i in range(n):  # static unroll: n is a trace-time constant
+        out = out.at[:, i * stride : i * stride + seg_len].add(audio[:, i] * w)
+        norm = norm.at[:, i * stride : i * stride + seg_len].add(w)
+    return out / jnp.maximum(norm, 1e-12)
 
 
 def _linear_overlap_add(pieces: List[jnp.ndarray], stride: int) -> jnp.ndarray:

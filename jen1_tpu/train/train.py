@@ -148,6 +148,26 @@ def run(
     )
     rng = jax.random.PRNGKey(config.seed)
 
+    if profile:
+        # Warm BOTH causal-variant train-step compiles on the template batch
+        # before tracing starts: a cold XLA compile inside the trace window
+        # bloats the capture by orders of magnitude (the profiler records
+        # every compiler event) without describing steady-state step time.
+        # The compiles are needed for the run anyway; state is not advanced.
+        from jen1_tpu.train.tasks import task_is_causal
+
+        for tg_causal in (False, True):
+            flags = tuple(task_is_causal(t, tg_causal) for t in trainer.tasks)
+            if flags not in trainer._step_cache:
+                # AOT-compile (no execution: the step donates state) and cache
+                # the Compiled directly — .lower().compile() does not populate
+                # the jit wrapper's own dispatch cache.
+                trainer._step_cache[flags] = (
+                    trainer._build_train_step(flags)
+                    .lower(state, template_batch, jax.random.PRNGKey(0))
+                    .compile()
+                )
+
     for step_idx, (latents, metadata) in enumerate(train_iter):
         gstep = start_step + step_idx
         batch = trainer.prepare_batch(encode(latents), metadata)

@@ -16,6 +16,12 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/jen1_tpu_xla")
 def enable_compile_cache(directory: str | None = None) -> None:
     import jax
 
+    if jax.default_backend() == "cpu":
+        # XLA:CPU AOT cache entries are written with compile-target pseudo-
+        # features (+prefer-no-scatter/+prefer-no-gather) that fail the
+        # loader's host-feature check on this image — entries never load
+        # back, so the cache is pure serialization overhead on CPU.
+        return
     directory = directory or os.environ.get("JEN1_TPU_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(directory, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", directory)

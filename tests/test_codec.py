@@ -142,6 +142,33 @@ class TestEncodecModel:
         # by padding inside the last segment)
         assert out.shape[1] >= T - m.config.hop_length
 
+    def test_chunked_decode_matches_whole(self, tiny_codec):
+        """decode_latent_chunked == whole-clip decode up to LSTM cold-start
+        at chunk seams (EnCodec-48k itself decodes independent 1 s segments,
+        so chunk-local state is within the model's design envelope). With a
+        random-init tiny codec the seams are worst-case; require high SNR and
+        exact shape semantics."""
+        m = tiny_codec
+        F = 100  # 2.5 s at hop 40
+        z = jax.random.normal(jax.random.PRNGKey(3), (2, F, 8))
+        whole = np.asarray(m.decode_latent(z))
+        chunk = np.asarray(
+            m.decode_latent_chunked(z, chunk_frames=40, hop_frames=36)
+        )
+        assert chunk.shape == (2, F * m.config.hop_length, 2)
+        w = whole[:, : chunk.shape[1]]
+        snr = 10 * np.log10(
+            (w**2).mean() / max(((w - chunk) ** 2).mean(), 1e-20)
+        )
+        assert snr > 10.0, f"chunked decode SNR too low: {snr:.1f} dB"
+
+    def test_chunked_decode_short_input_falls_back(self, tiny_codec):
+        m = tiny_codec
+        z = jax.random.normal(jax.random.PRNGKey(4), (1, 30, 8))
+        whole = np.asarray(m.decode_latent(z))
+        chunk = np.asarray(m.decode_latent_chunked(z, chunk_frames=40))
+        np.testing.assert_allclose(chunk, whole[:, : chunk.shape[1]], rtol=1e-5, atol=1e-6)
+
     def test_overlap_add_constant_signal(self):
         pieces = [jnp.ones((1, 100, 2)), jnp.ones((1, 100, 2))]
         out = _linear_overlap_add(pieces, stride=90)

@@ -58,10 +58,20 @@ def latents_dir(tmp_path_factory):
     return p
 
 
+@pytest.fixture(scope="module")
+def full_run(latents_dir):
+    """ONE 5-step profiled run shared by the tests below: each run() call
+    recompiles the train/eval graphs, which on this 1-core host costs minutes
+    — the assertions (checkpointing, loss trajectory, profile trace) are
+    independent reads of the same run's artifacts."""
+    cfg = _config(latents_dir, "full")
+    state = run(cfg, max_steps=5, profile=True)
+    return cfg, state
+
+
 class TestTrainCLI:
-    def test_run_trains_and_checkpoints(self, latents_dir):
-        cfg = _config(latents_dir, "full")
-        state = run(cfg, max_steps=5)
+    def test_run_trains_and_checkpoints(self, full_run):
+        cfg, state = full_run
         assert int(state.step) == 5
         losses = _read_losses(cfg.log_dir)
         assert losses and all(np.isfinite(v) for v in losses.values())
@@ -69,11 +79,12 @@ class TestTrainCLI:
 
         assert CheckpointManager(cfg.save_dir).latest_step() is not None
 
-    def test_resume_reproduces_trajectory(self, latents_dir):
+    def test_resume_reproduces_trajectory(self, latents_dir, full_run):
         """Kill after 3 steps, resume, and match the unkilled run's losses at
-        the same global steps (VERDICT done-criterion for item #8)."""
-        full_cfg = _config(latents_dir, "unkilled")
-        run(full_cfg, max_steps=5)
+        the same global steps (VERDICT done-criterion for item #8). The
+        unkilled baseline is the shared full_run (profiling does not change
+        the computed trajectory)."""
+        full_cfg, _ = full_run
         full_losses = _read_losses(full_cfg.log_dir)
 
         kill_cfg = _config(latents_dir, "killed")
@@ -88,11 +99,10 @@ class TestTrainCLI:
                 err_msg=f"resumed trajectory diverged at step {step}",
             )
 
-    def test_profile_flag_writes_trace(self, latents_dir):
+    def test_profile_flag_writes_trace(self, full_run):
         """--profile captures a jax.profiler trace of steps 2-4 (SURVEY §5:
         absent in the reference)."""
-        cfg = _config(latents_dir, "profiled")
-        run(cfg, max_steps=5, profile=True)
+        cfg, _ = full_run
         import glob
 
         traces = glob.glob(
