@@ -224,9 +224,16 @@ def child_main() -> None:
     def sample(rng):
         return decode(sample_latents(rng))
 
+    # Timing is via a host fetch of a scalar that depends on every output
+    # element — NOT block_until_ready: on this tunneled runtime
+    # block_until_ready returns in ~0.1 ms for some executables (measured:
+    # whole-clip codec decode "completes" 1000x faster than its FLOP floor)
+    # while float(jnp.sum(out)) reports walls consistent with the roofline.
+    checksum = jax.jit(jnp.sum)
+
     t0 = time.time()
     out = sample(jax.random.PRNGKey(2))
-    out.block_until_ready()
+    float(checksum(out))
     note(f"sampler compile+first run={time.time() - t0:.1f}s")
 
     # First timed run -> persist the headline number IMMEDIATELY.
@@ -234,7 +241,7 @@ def child_main() -> None:
     for i in range(3):
         t0 = time.time()
         out = sample(jax.random.PRNGKey(3 + i))
-        out.block_until_ready()
+        float(checksum(out))
         times.append(time.time() - t0)
         write_result(seconds * B / min(times))
         note(

@@ -42,15 +42,21 @@ def main() -> None:
         ]
         jax.block_until_ready(zs)
 
+        # Honest walls require fetching a scalar that depends on all output
+        # elements: block_until_ready returns in ~0.1 ms for some executables
+        # on this tunneled runtime (1000x below the whole-clip decoder's FLOP
+        # floor), while sum-fetch walls match the roofline.
+        checksum = jax.jit(jnp.sum)
+
         def timed(fn, label):
             t0 = time.time()
             out = fn(zs[0])
-            jax.block_until_ready(out)
+            float(checksum(out))
             compile_s = time.time() - t0
             walls = []
             for i in range(5):
                 t0 = time.time()
-                jax.block_until_ready(fn(zs[1 + i]))
+                float(checksum(fn(zs[1 + i])))
                 walls.append(time.time() - t0)
             best = min(walls)
             print(
