@@ -1,0 +1,309 @@
+"""Production serving for Jen1: HTTP API with static-shape micro-batching.
+
+The reference has no serving layer at all (SURVEY.md §1: entry points are
+`torchrun train.py` and importing `generation.Jen1`); this module is the
+deployment surface a production user needs on TPU:
+
+  * ONE compiled sampler graph serves every request: requests are grouped by
+    (seconds, steps, use_gdm) and padded to a fixed `max_batch` with null
+    prompts, so XLA never recompiles for traffic patterns (every distinct
+    shape costs a multi-minute compile through a cold cache — see
+    docs/USAGE.md). Padding lanes are dropped before the response.
+  * micro-batching: a single dispatcher thread drains the request queue,
+    waits up to `max_wait_ms` for co-batchable requests, and runs the chip
+    at batch size up to `max_batch` — throughput scales with batch on the
+    MXU while per-request latency is bounded by the wait window.
+  * plain-stdlib HTTP (ThreadingHTTPServer): POST /generate with a JSON
+    body {"prompt": str, "seconds": float, "steps": int, "seed": int,
+    "format": "wav"|"npy"} returns audio/wav (16-bit PCM) or an .npy
+    tensor; GET /healthz returns readiness + serving stats.
+
+Usage:
+    jen1-serve --ckpt ckpts/ --port 8000
+    curl -X POST localhost:8000/generate -d '{"prompt": "warm jazz"}' \
+         -o out.wav
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+import wave
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    prompt: str
+    seconds: float
+    steps: int
+    seed: int
+    use_gdm: bool
+    done: threading.Event = field(default_factory=threading.Event)
+    audio: Optional[np.ndarray] = None  # (ch, T)
+    error: Optional[str] = None
+
+    @property
+    def batch_key(self):
+        # requests sharing a key share one compiled graph & one device batch
+        return (float(self.seconds), int(self.steps), bool(self.use_gdm))
+
+
+class GenerationService:
+    """Micro-batching dispatcher over a Jen1 model. HTTP-independent: call
+    `submit()` from any frontend; one background thread owns the device."""
+
+    def __init__(
+        self,
+        jen1,
+        max_batch: int = 4,
+        max_wait_ms: float = 200.0,
+        default_seconds: float = 30.0,
+        default_steps: int = 100,
+    ):
+        self.jen1 = jen1
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self.default_seconds = default_seconds
+        self.default_steps = default_steps
+        self.stats: Dict[str, Any] = {
+            "requests": 0, "batches": 0, "padded_lanes": 0, "errors": 0,
+            "busy": False,
+        }
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="jen1-dispatcher", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------- public
+
+    def submit(
+        self,
+        prompt: str,
+        seconds: Optional[float] = None,
+        steps: Optional[int] = None,
+        seed: int = -1,
+        use_gdm: bool = False,
+        timeout: Optional[float] = None,
+    ) -> np.ndarray:
+        """Blocking: returns (channels, samples) float32. Raises RuntimeError
+        on generation failure, TimeoutError if the deadline passes."""
+        req = _Request(
+            prompt=str(prompt),
+            seconds=float(seconds if seconds is not None else self.default_seconds),
+            steps=int(steps if steps is not None else self.default_steps),
+            seed=int(seed),
+            use_gdm=bool(use_gdm),
+        )
+        self.stats["requests"] += 1
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("generation did not complete in time")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.audio
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    # ---------------------------------------------------------- internals
+
+    def _collect_batch(self) -> List[_Request]:
+        """Block for one request, then drain co-batchable ones (same
+        batch_key) for up to max_wait_ms."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.time() + self.max_wait_ms / 1e3
+        leftovers: List[_Request] = []
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req.batch_key == first.batch_key:
+                batch.append(req)
+            else:
+                leftovers.append(req)  # different graph: next batch
+        for req in leftovers:
+            self._queue.put(req)
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect_batch()
+            if not batch:
+                continue
+            self.stats["busy"] = True
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # noqa: BLE001 — report to the callers
+                self.stats["errors"] += 1
+                for req in batch:
+                    req.error = f"{type(e).__name__}: {e}"
+                    req.done.set()
+            finally:
+                self.stats["busy"] = False
+
+    def _run_batch(self, batch: List[_Request]) -> None:
+        # pad to the FIXED max_batch so all traffic hits one compiled graph
+        n_pad = self.max_batch - len(batch)
+        prompts = [r.prompt for r in batch] + [""] * n_pad
+        first = batch[0]
+        # one device seed per batch; per-request seeds fold in by lane so a
+        # request's audio is reproducible only via explicit seed= on a lane-0
+        # submission (documented limitation of batched serving)
+        seed = first.seed if first.seed != -1 else None
+        audio = self.jen1.generate(
+            prompts,
+            seed=-1 if seed is None else seed,
+            steps=first.steps,
+            batch_size=self.max_batch,
+            seconds=first.seconds,
+            use_gdm=first.use_gdm,
+        )  # (max_batch, ch, T)
+        audio = np.asarray(audio)
+        self.stats["batches"] += 1
+        self.stats["padded_lanes"] += n_pad
+        for lane, req in enumerate(batch):
+            req.audio = audio[lane]
+            req.done.set()
+
+
+def _wav_bytes(audio_ct: np.ndarray, sample_rate: int) -> bytes:
+    """(channels, T) float32 [-1, 1] -> 16-bit PCM WAV bytes."""
+    audio = np.clip(audio_ct.T.astype(np.float32), -1.0, 1.0)
+    ints = (audio * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(audio.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def make_handler(service: GenerationService, sample_rate: int):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps({"ok": True, **service.stats}).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(404, b'{"error": "not found"}', "application/json")
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, b'{"error": "not found"}', "application/json")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                prompt = payload["prompt"]
+            except (KeyError, ValueError) as e:
+                self._send(
+                    400,
+                    json.dumps({"error": f"bad request: {e}"}).encode(),
+                    "application/json",
+                )
+                return
+            try:
+                audio = service.submit(
+                    prompt,
+                    seconds=payload.get("seconds"),
+                    steps=payload.get("steps"),
+                    seed=int(payload.get("seed", -1)),
+                    use_gdm=bool(payload.get("use_gdm", False)),
+                    timeout=float(payload.get("timeout", 600.0)),
+                )
+            except TimeoutError:
+                self._send(
+                    504, b'{"error": "generation timed out"}', "application/json"
+                )
+                return
+            except RuntimeError as e:
+                self._send(
+                    500, json.dumps({"error": str(e)}).encode(), "application/json"
+                )
+                return
+            fmt = payload.get("format", "wav")
+            if fmt == "npy":
+                buf = io.BytesIO()
+                np.save(buf, audio)
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            else:
+                self._send(200, _wav_bytes(audio, sample_rate), "audio/wav")
+
+    return Handler
+
+
+def serve(
+    jen1,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    max_batch: int = 4,
+    max_wait_ms: float = 200.0,
+) -> ThreadingHTTPServer:
+    """Build (but do not run) the HTTP server; call .serve_forever()."""
+    service = GenerationService(jen1, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(service, jen1.sample_rate)
+    )
+    httpd.service = service  # type: ignore[attr-defined]
+    return httpd
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    from jen1_tpu.api.generation import Jen1
+    from jen1_tpu.config import Config
+    from jen1_tpu.utils.compile_cache import enable_compile_cache
+
+    p = argparse.ArgumentParser(description="Serve Jen1 text-to-music over HTTP")
+    p.add_argument("--ckpt", default=None, help="checkpoint dir/file")
+    p.add_argument("--config", default=None, help="config JSON path")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=4)
+    p.add_argument("--max-wait-ms", type=float, default=200.0)
+    args = p.parse_args(argv)
+
+    enable_compile_cache()
+    config = Config.from_json(args.config) if args.config else Config()
+    jen1 = Jen1(args.ckpt, config=config)
+    httpd = serve(
+        jen1, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    print(f"jen1-serve listening on {args.host}:{httpd.server_address[1]}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
