@@ -36,7 +36,11 @@ def _metric_name() -> str:
     steps = os.environ.get("JEN1_BENCH_STEPS", "100")
     mode = os.environ.get("JEN1_BENCH_MODE", "scan")
     sampler = "dpmpp" if mode == "dpm++" else "ddim"
-    return f"audio_sec_generated_per_sec_per_chip_{steps}step_{sampler}"
+    name = f"audio_sec_generated_per_sec_per_chip_{steps}step_{sampler}"
+    enc = os.environ.get("JEN1_BENCH_ENC_REUSE", "1")
+    if enc not in ("", "1"):
+        name += f"_encreuse{enc}"
+    return name
 
 
 def _emit(value: float) -> None:
@@ -162,6 +166,8 @@ def child_main() -> None:
         if chl is not None:
             kw["channels_list"] = [c.astype(jnp.bfloat16) for c in chl]
         out = model.apply(params, x.astype(jnp.bfloat16), t, **kw)
+        if isinstance(out, tuple):  # (out, encoder_cache)
+            return (out[0].astype(jnp.float32), out[1])
         return out.astype(jnp.float32)
 
     cond = {
@@ -209,10 +215,14 @@ def child_main() -> None:
         # dpm++ cuts the model-call count 3-5x at equal quality
         # (diffusion/dpm_solver.py) — run with JEN1_BENCH_MODE=dpm++
         # JEN1_BENCH_STEPS=25 for the accelerated-sampler number.
+        # JEN1_BENCH_ENC_REUSE=2 runs the UNet encoder every 2nd step
+        # (Faster-Diffusion encoder propagation, scan mode only).
+        enc_reuse = int(os.environ.get("JEN1_BENCH_ENC_REUSE", "1"))
         sample_latents = jax.jit(
             lambda rng: gdm.sample(
                 model_fn, (B, L, C), cond, rng, causal=False,
                 mode="dpm++" if mode == "dpm++" else "scan",
+                encoder_reuse=enc_reuse if mode == "scan" else 1,
             ),
             compiler_options=OPTS,
         )

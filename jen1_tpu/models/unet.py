@@ -153,7 +153,19 @@ class UNet1d(nn.Module):
         embedding: Optional[jnp.ndarray] = None,  # (B, M, E)
         embedding_mask: Optional[jnp.ndarray] = None,  # (B, M)
         causal: bool = False,
+        encoder_cache=None,
+        return_encoder_cache: bool = False,
     ) -> jnp.ndarray:
+        """encoder_cache / return_encoder_cache implement encoder
+        propagation ("Faster Diffusion", arXiv:2312.09608): deep encoder
+        features change slowly across adjacent denoising steps, so a sampler
+        may reuse the (pre-bottleneck feature, per-level skips) cache from
+        the previous step and run only patcher + bottleneck + decoder. The
+        patcher IS re-run on the current x_t — its output is the outermost
+        residual (skip0), keeping the current latent in the data path; the
+        per-step time FiLM mapping modulates every decoder block as usual.
+        Both branches return an identically-shaped cache, so a sampler can
+        switch per step with lax.cond."""
         n = self.num_layers
         assert len(self.factors) == n and len(self.num_blocks) == n
         assert len(self.attentions) >= n
@@ -200,7 +212,17 @@ class UNet1d(nn.Module):
 
         skips_list: List[List[jnp.ndarray]] = [[x]]
 
-        for i in range(n):
+        if encoder_cache is not None:
+            # decoder-only step: levels 1..n skips + the pre-bottleneck
+            # feature come from the cache; skip0 (patcher) is current.
+            x, cached_skips = encoder_cache
+            skips_list = skips_list + [list(s) for s in cached_skips]
+            cache = encoder_cache
+            down_range = []
+        else:
+            down_range = list(range(n))
+
+        for i in down_range:
             channels = self._get_channels(channels_list, layer=i + 1)
             block = DownsampleBlock1d(
                 in_channels=self.channels * self.multipliers[i],
@@ -247,6 +269,9 @@ class UNet1d(nn.Module):
                     causal=causal,
                 )
             skips_list.append(skips)
+
+        if encoder_cache is None:
+            cache = (x, tuple(tuple(s) for s in skips_list[1:]))
 
         bottleneck = BottleneckBlock1d(
             channels=self.channels * self.multipliers[-1],
@@ -346,6 +371,8 @@ class UNet1d(nn.Module):
             x = stft.decode1d(
                 x.transpose(0, 2, 1).astype(jnp.float32), length=wave_len
             ).transpose(0, 2, 1).astype(x_dtype)
+        if return_encoder_cache:
+            return x, cache
         return x
 
 
@@ -455,8 +482,21 @@ class UNetCFG1d(nn.Module):
         channels_list: Optional[Sequence[jnp.ndarray]] = None,
         causal: bool = False,
         rng: Optional[jax.Array] = None,
+        encoder_cache=None,
+        return_encoder_cache: bool = False,
     ) -> jnp.ndarray:
         b = embedding.shape[0]
+        cache_kw = dict(
+            encoder_cache=encoder_cache,
+            return_encoder_cache=return_encoder_cache,
+        )
+        if (encoder_cache is not None or return_encoder_cache) and (
+            embedding_scale != 1.0 and not batch_cfg
+        ):
+            raise ValueError(
+                "encoder propagation with CFG requires batch_cfg=True "
+                "(the cache lives in the CFG-doubled batch)"
+            )
 
         if self.use_xattn_time:
             time_token = self.to_time_embedding(time.astype(jnp.float32))
@@ -499,7 +539,10 @@ class UNetCFG1d(nn.Module):
                     features=batch_features,
                     channels_list=batch_channels,
                     causal=causal,
+                    **cache_kw,
                 )
+                if return_encoder_cache:
+                    batch_out, cache = batch_out
                 out, out_masked = jnp.split(batch_out, 2, axis=0)
             else:
                 out = self.unet(
@@ -536,10 +579,12 @@ class UNetCFG1d(nn.Module):
                 mixed = scale_phi * rescaled + (1.0 - scale_phi) * out_cfg.astype(
                     jnp.float32
                 )
-                return mixed.astype(out_cfg.dtype)
+                out_cfg = mixed.astype(out_cfg.dtype)
+            if return_encoder_cache:
+                return out_cfg, cache
             return out_cfg
 
-        return self.unet(
+        out = self.unet(
             x,
             time,
             embedding=embedding,
@@ -547,7 +592,9 @@ class UNetCFG1d(nn.Module):
             features=features,
             channels_list=channels_list,
             causal=causal,
+            **cache_kw,
         )
+        return out
 
 
 def unet_from_model_config(mc) -> UNetCFG1d:

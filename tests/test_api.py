@@ -58,6 +58,20 @@ class TestGenerate:
         lat = jen1.generate("x", seed=3, steps=3, seconds=1, decode=False)
         assert lat.shape == (1, 8, 40)  # (B, dim, frames) reference layout
 
+    def test_encoder_reuse_gdm(self, jen1):
+        """Faster-Diffusion encoder propagation through the public API
+        (exercises the model_fn wrapper's (out, cache) passthrough)."""
+        out = jen1.generate("a beautiful song", seed=2, steps=4, batch_size=1,
+                            seconds=1, use_gdm=True, encoder_reuse=2)
+        assert out.shape == (1, 2, 1600)
+        assert np.isfinite(out).all()
+
+    def test_encoder_reuse_rejected_for_vdm(self, jen1):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="encoder_reuse"):
+            jen1.generate("x", steps=3, seconds=1, encoder_reuse=2)
+
     def test_inpaint(self, jen1):
         init = np.zeros((1600, 2), np.float32)
         out = jen1.generate("fill the middle", seed=4, steps=3, seconds=1,

@@ -299,3 +299,51 @@ class TestObjectiveCoverage:
                                           jax.random.PRNGKey(33))
         )(x0)
         assert np.isfinite(float(loss))
+
+
+class TestEncoderReuse:
+    """Faster-Diffusion encoder propagation in the DDIM scan sampler."""
+
+    def test_reuse_every_step_disabled_matches_baseline(self, tiny_model):
+        """encoder_reuse=1 must be byte-identical to the stock sampler."""
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=16, sampling=4, ddim_sampling_eta=0.0,
+                       embedding_scale=0.8, batch_cfg=True, scale_cfg=True)
+        rng = jax.random.PRNGKey(5)
+        base = jax.jit(
+            lambda r: gdm.sample(model_fn, shape, cond, r, causal=False)
+        )(rng)
+        same = jax.jit(
+            lambda r: gdm.sample(model_fn, shape, cond, r, causal=False,
+                                 encoder_reuse=1)
+        )(rng)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+
+    def test_reuse_2_runs_and_approximates(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=16, sampling=8, ddim_sampling_eta=0.0,
+                       embedding_scale=0.8, batch_cfg=True, scale_cfg=True)
+        rng = jax.random.PRNGKey(6)
+        full = jax.jit(
+            lambda r: gdm.sample(model_fn, shape, cond, r, causal=False)
+        )(rng)
+        fast = jax.jit(
+            lambda r: gdm.sample(model_fn, shape, cond, r, causal=False,
+                                 encoder_reuse=2)
+        )(rng)
+        assert fast.shape == shape
+        assert bool(jnp.all(jnp.isfinite(fast)))
+        # same injected noise: the propagated trajectory approximates the
+        # full one (tiny random model = worst case; just bound divergence)
+        rel = float(
+            jnp.linalg.norm(fast - full) / jnp.linalg.norm(full)
+        )
+        assert rel < 1.0, f"encoder-reuse trajectory diverged: rel={rel:.3f}"
+        assert rel > 0.0  # and it is not the identical computation
+
+    def test_reuse_requires_ddim(self, tiny_model):
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("noise", steps=4, sampling=4)  # ancestral DDPM path
+        with pytest.raises(ValueError, match="DDIM"):
+            gdm.sample(model_fn, shape, cond, jax.random.PRNGKey(7),
+                       causal=False, encoder_reuse=2)

@@ -196,3 +196,70 @@ def test_stft_context_mode():
     )(params, x, ctx)
     assert out.shape == (B, T, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestEncoderPropagation:
+    """Faster-Diffusion encoder propagation (arXiv:2312.09608):
+    UNet1d/UNetCFG1d encoder_cache + return_encoder_cache plumbing."""
+
+    def test_cached_forward_exact_at_same_inputs(self, setup):
+        """Decoder-only forward with the cache from a full forward at the
+        SAME (x, t) must reproduce the full output exactly: the cached
+        branch recomputes only the patcher (identical input) and consumes
+        identical skips/bottleneck-input."""
+        cfg, model, params, (x, t, emb, mask, ch) = setup
+        out_full, cache = jax.jit(
+            lambda p: model.apply(
+                p, x, t, embedding=emb, embedding_mask=mask,
+                channels_list=[ch], embedding_scale=0.8, batch_cfg=True,
+                scale_cfg=True, causal=False, return_encoder_cache=True,
+            )
+        )(params)
+        out_cached, cache2 = jax.jit(
+            lambda p, c: model.apply(
+                p, x, t, embedding=emb, embedding_mask=mask,
+                channels_list=[ch], embedding_scale=0.8, batch_cfg=True,
+                scale_cfg=True, causal=False, encoder_cache=c,
+                return_encoder_cache=True,
+            )
+        )(params, cache)
+        np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_cached))
+        # reuse branch passes its cache through unchanged
+        for a, b in zip(jax.tree.leaves(cache), jax.tree.leaves(cache2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_cached_forward_differs_at_other_x(self, setup):
+        """With a cache from a different x, the output must still respond to
+        the current x (via the patcher residual) and differ from both full
+        forwards."""
+        cfg, model, params, (x, t, emb, mask, ch) = setup
+
+        def full(p, x_):
+            return model.apply(
+                p, x_, t, embedding=emb, embedding_mask=mask,
+                channels_list=[ch], embedding_scale=0.8, batch_cfg=True,
+                scale_cfg=True, causal=False, return_encoder_cache=True,
+            )
+
+        x2 = x + 0.25
+        out1, cache1 = jax.jit(full)(params, x)
+        out2, _ = jax.jit(full)(params, x2)
+        out_mixed = jax.jit(
+            lambda p, c: model.apply(
+                p, x2, t, embedding=emb, embedding_mask=mask,
+                channels_list=[ch], embedding_scale=0.8, batch_cfg=True,
+                scale_cfg=True, causal=False, encoder_cache=c,
+            )
+        )(params, cache1)
+        assert not np.allclose(np.asarray(out_mixed), np.asarray(out1))
+        assert not np.allclose(np.asarray(out_mixed), np.asarray(out2))
+        assert np.isfinite(np.asarray(out_mixed)).all()
+
+    def test_cfg_without_batch_cfg_rejected(self, setup):
+        cfg, model, params, (x, t, emb, mask, ch) = setup
+        with pytest.raises(ValueError, match="batch_cfg"):
+            model.apply(
+                params, x, t, embedding=emb, embedding_mask=mask,
+                channels_list=[ch], embedding_scale=0.8, batch_cfg=False,
+                causal=False, return_encoder_cache=True,
+            )
