@@ -222,7 +222,7 @@ def child_main() -> None:
             lambda rng: gdm.sample(
                 model_fn, (B, L, C), cond, rng, causal=False,
                 mode="dpm++" if mode == "dpm++" else "scan",
-                encoder_reuse=enc_reuse if mode == "scan" else 1,
+                encoder_reuse=enc_reuse,
             ),
             compiler_options=OPTS,
         )

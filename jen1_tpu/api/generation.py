@@ -396,10 +396,12 @@ class Jen1:
             )
         if sampler_mode == "dpm++" and not use_gdm:
             raise ValueError("sampler_mode='dpm++' requires use_gdm=True")
-        if encoder_reuse > 1 and not (use_gdm and sampler_mode == "scan"):
+        if encoder_reuse > 1 and not (
+            use_gdm and sampler_mode in ("scan", "dpm++")
+        ):
             raise ValueError(
                 "encoder_reuse>1 (Faster-Diffusion encoder propagation) "
-                "requires use_gdm=True with sampler_mode='scan'"
+                "requires use_gdm=True with sampler_mode 'scan' or 'dpm++'"
             )
         step_kw = {} if use_gdm else {"step": steps}
         if encoder_reuse > 1:
@@ -408,7 +410,7 @@ class Jen1:
             sample_fn = jax.jit(
                 lambda r, c, i: diffusion.sample(
                     model_fn, shape, c, r, causal=causal, init_data=i,
-                    mode="dpm++",
+                    mode="dpm++", **step_kw,
                 ),
                 compiler_options=compiler_options or None,
             )

@@ -40,10 +40,17 @@ def dpm_solver_pp_2m(
     causal: bool = False,
     init_data: Optional[jnp.ndarray] = None,
     clip_denoised: bool = True,
+    encoder_reuse: int = 1,
 ) -> jnp.ndarray:
     """Sample with DPM-Solver++(2M). `gdm` is a GaussianDiffusion (supplies
     the schedule, objective conversion, and CFG model call); the number of
-    model calls is gdm.sampling_timesteps."""
+    model calls is gdm.sampling_timesteps.
+
+    encoder_reuse > 1 composes Faster-Diffusion encoder propagation
+    (arXiv:2312.09608) with the solver: block-unrolled like
+    GaussianDiffusion.ddim_sample — one full UNet forward per block of
+    `encoder_reuse` steps, decoder-only forwards in between (the cache stays
+    local to the scan iteration; carrying it costs more HBM than it saves)."""
     batch = shape[0]
     acp = gdm.alphas_cumprod
     alpha = jnp.sqrt(acp)
@@ -61,6 +68,70 @@ def dpm_solver_pp_2m(
     if init_data is not None:
         x0 = x0 + init_data.astype(jnp.float32)
 
+    def solver_update(x, m, m_prev, lam_prev, i, t_s, t_t):
+        """One 2M update; returns (x_new, lam_s). Falls back to 1st order on
+        the very first call (i == 0)."""
+        t_safe = jnp.maximum(t_t, 0)
+        lam_s, lam_t = lam[t_s], lam[t_safe]
+        h = lam_t - lam_s
+        h_prev = lam_s - lam_prev
+        r = h_prev / jnp.maximum(h, 1e-12)
+        corr = (m - m_prev) / jnp.maximum(2.0 * r, 1e-12)
+        d = jnp.where(i > 0, m + corr, m)
+        x_next = (sigma[t_safe] / sigma[t_s]) * x - alpha[t_safe] * (
+            jnp.exp(-h) - 1.0
+        ) * d
+        return jnp.where(t_t < 0, m, x_next), lam_s
+
+    m0 = jnp.zeros_like(x0)
+    lam0 = jnp.zeros((), jnp.float32)
+    i0 = jnp.zeros((), jnp.int32)
+
+    if encoder_reuse > 1:
+        k = int(encoder_reuse)
+        n_blocks, tail = divmod(steps, k)
+        main = time_pairs[: n_blocks * k].reshape(n_blocks, k, 2)
+
+        def call(x, t_s, i, enc_cache):
+            step_rng = jax.random.fold_in(rng_loop, i)
+            time_cond = jnp.full((batch,), t_s, dtype=jnp.int32)
+            model_out, cache = gdm._call_model(
+                model_fn, x, time_cond, conditioning, causal=causal,
+                rng=step_rng, dropout=gdm.dropout_during_sampling,
+                extra={
+                    "encoder_cache": enc_cache,
+                    "return_encoder_cache": True,
+                },
+            )
+            _, m = gdm._predictions_from_out(
+                model_out, x, time_cond, clip_denoised
+            )
+            return m, cache
+
+        def block_body(carry, block):  # block: (k, 2)
+            x, m_prev, lam_prev, i = carry
+            cache = None
+            for j in range(k):  # static unroll
+                t_s, t_t = block[j, 0], block[j, 1]
+                m, cache = call(x, t_s, i + j, cache if j else None)
+                x, lam_prev = solver_update(
+                    x, m, m_prev, lam_prev, i + j, t_s, t_t
+                )
+                m_prev = m
+            return (x, m_prev, lam_prev, i + k), 0
+
+        (x, m_prev, lam_prev, i), _ = jax.lax.scan(
+            block_body, (x0, m0, lam0, i0), main
+        )
+        for r_idx in range(tail):  # remainder: full forwards
+            t_s, t_t = time_pairs[n_blocks * k + r_idx]
+            m, _ = call(x, t_s, i + r_idx, None)
+            x, lam_prev = solver_update(
+                x, m, m_prev, lam_prev, i + r_idx, t_s, t_t
+            )
+            m_prev = m
+        return x
+
     def body(carry, inputs):
         x, m_prev, lam_prev, i = carry
         t_s, t_t = inputs[0], inputs[1]
@@ -71,23 +142,10 @@ def dpm_solver_pp_2m(
             clip_x_start=clip_denoised, causal=causal, rng=step_rng,
             dropout=gdm.dropout_during_sampling,
         )
-        t_safe = jnp.maximum(t_t, 0)
-        lam_s, lam_t = lam[t_s], lam[t_safe]
-        h = lam_t - lam_s
-        h_prev = lam_s - lam_prev
-        # 2M correction; falls back to 1st order on the first step (i == 0)
-        r = h_prev / jnp.maximum(h, 1e-12)
-        corr = (m - m_prev) / jnp.maximum(2.0 * r, 1e-12)
-        d = jnp.where(i > 0, m + corr, m)
-        x_next = (sigma[t_safe] / sigma[t_s]) * x - alpha[t_safe] * (
-            jnp.exp(-h) - 1.0
-        ) * d
-        x_new = jnp.where(t_t < 0, m, x_next)
+        x_new, lam_s = solver_update(x, m, m_prev, lam_prev, i, t_s, t_t)
         return (x_new, m, lam_s, i + 1), 0
 
-    m0 = jnp.zeros_like(x0)
-    lam0 = jnp.zeros((), jnp.float32)
     (x, _, _, _), _ = jax.lax.scan(
-        body, (x0, m0, lam0, jnp.zeros((), jnp.int32)), time_pairs
+        body, (x0, m0, lam0, i0), time_pairs
     )
     return x

@@ -586,6 +586,7 @@ class GaussianDiffusion:
             return dpm_solver_pp_2m(
                 self, model_fn, shape, conditioning, rng,
                 causal=causal, init_data=init_data,
+                encoder_reuse=encoder_reuse,
             )
         if mode == "stepwise":
             assert self.is_ddim_sampling, "stepwise mode implements DDIM"

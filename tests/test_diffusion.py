@@ -347,3 +347,22 @@ class TestEncoderReuse:
         with pytest.raises(ValueError, match="DDIM"):
             gdm.sample(model_fn, shape, cond, jax.random.PRNGKey(7),
                        causal=False, encoder_reuse=2)
+
+    def test_dpmpp_encoder_reuse_runs(self, tiny_model):
+        """Encoder propagation composes with DPM-Solver++(2M)."""
+        model_fn, cond, shape = tiny_model
+        gdm = make_gdm("v", steps=16, sampling=8, ddim_sampling_eta=0.0,
+                       embedding_scale=0.8, batch_cfg=True, scale_cfg=True)
+        rng = jax.random.PRNGKey(8)
+        full = jax.jit(
+            lambda r: gdm.sample(model_fn, shape, cond, r, causal=False,
+                                 mode="dpm++")
+        )(rng)
+        fast = jax.jit(
+            lambda r: gdm.sample(model_fn, shape, cond, r, causal=False,
+                                 mode="dpm++", encoder_reuse=3)
+        )(rng)  # 8 = 2 blocks of 3 + tail of 2: exercises the remainder path
+        assert fast.shape == shape
+        assert bool(jnp.all(jnp.isfinite(fast)))
+        rel = float(jnp.linalg.norm(fast - full) / jnp.linalg.norm(full))
+        assert 0.0 < rel < 1.0, f"dpm++ encoder-reuse diverged: rel={rel:.3f}"
