@@ -455,6 +455,7 @@ class Jen1:
         batch_size: int = 1,
         use_gdm: bool = False,
         sampler_mode: str = "scan",
+        **gen_kw,
     ):
         """Arbitrary-length generation by chaining music_cont windows: the
         first window is text_guided; each next window conditions on the last
@@ -465,7 +466,9 @@ class Jen1:
 
         Beyond-reference capability: the reference can only continue once
         from a user-provided clip (generation.py:97-110); this composes the
-        same task into open-ended long-form synthesis."""
+        same task into open-ended long-form synthesis. Extra keyword args
+        (decode_mode, encoder_reuse, compiler_options, ...) pass through to
+        every underlying generate() call."""
         assert context_seconds < window_seconds, "context must be < window"
         seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
         sr = self.sample_rate
@@ -475,7 +478,7 @@ class Jen1:
         audio = self.generate(
             prompt, seed=seed, steps=steps, batch_size=batch_size,
             seconds=window_seconds, use_gdm=use_gdm,
-            sampler_mode=sampler_mode,
+            sampler_mode=sampler_mode, **gen_kw,
         )  # (B, ch, T)
         audio = np.asarray(audio)
         total = int(total_seconds * sr)
@@ -487,6 +490,7 @@ class Jen1:
                 prompt, seed=seed + widx, steps=steps, batch_size=batch_size,
                 seconds=window_seconds, use_gdm=use_gdm, task="music_cont",
                 init_audio=ctx, init_audio_sr=sr, sampler_mode=sampler_mode,
+                **gen_kw,
             ))  # (B, ch, window) — first ctx_len samples are conditioned
             new_tail = out[..., ctx_len - fade:]
             ramp = np.linspace(0.0, 1.0, fade, dtype=np.float32)
