@@ -75,9 +75,13 @@ class GenerationService:
         self.default_steps = default_steps
         self.stats: Dict[str, Any] = {
             "requests": 0, "batches": 0, "padded_lanes": 0, "errors": 0,
-            "busy": False,
+            "streams": 0, "busy": False,
         }
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # One jitted program runs at a time: batch dispatch and long-form
+        # streams share the device through this lock, interleaving at
+        # window granularity.
+        self._device_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="jen1-dispatcher", daemon=True
@@ -111,6 +115,44 @@ class GenerationService:
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.audio
+
+    def submit_stream(
+        self,
+        prompt: str,
+        total_seconds: float,
+        *,
+        window_seconds: Optional[float] = None,
+        context_seconds: Optional[float] = None,
+        steps: Optional[int] = None,
+        seed: int = -1,
+        use_gdm: bool = False,
+    ):
+        """Long-form streaming: yields (channels, n_new) float32 chunks as
+        each window completes (Jen1.generate_long_stream). The device lock is
+        held per window, so queued short requests interleave between
+        windows."""
+        window = float(
+            window_seconds if window_seconds is not None else self.default_seconds
+        )
+        ctx = float(
+            context_seconds if context_seconds is not None else window / 3.0
+        )
+        self.stats["streams"] += 1
+        gen = self.jen1.generate_long_stream(
+            str(prompt), float(total_seconds),
+            window_seconds=window, context_seconds=ctx,
+            seed=int(seed),
+            steps=int(steps if steps is not None else self.default_steps),
+            batch_size=1, use_gdm=bool(use_gdm),
+        )
+        it = iter(gen)
+        while True:
+            with self._device_lock:
+                try:
+                    chunk = next(it)
+                except StopIteration:
+                    return
+            yield np.asarray(chunk)[0]  # (ch, n_new)
 
     def close(self) -> None:
         self._stop.set()
@@ -151,7 +193,8 @@ class GenerationService:
                 continue
             self.stats["busy"] = True
             try:
-                self._run_batch(batch)
+                with self._device_lock:
+                    self._run_batch(batch)
             except Exception as e:  # noqa: BLE001 — report to the callers
                 self.stats["errors"] += 1
                 for req in batch:
@@ -200,6 +243,10 @@ def _wav_bytes(audio_ct: np.ndarray, sample_rate: int) -> bytes:
 
 def make_handler(service: GenerationService, sample_rate: int):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 enables Transfer-Encoding: chunked for /generate_long;
+        # all non-streaming responses carry an exact Content-Length.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -218,6 +265,9 @@ def make_handler(service: GenerationService, sample_rate: int):
                 self._send(404, b'{"error": "not found"}', "application/json")
 
         def do_POST(self):
+            if self.path == "/generate_long":
+                self._generate_long()
+                return
             if self.path != "/generate":
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
@@ -258,6 +308,63 @@ def make_handler(service: GenerationService, sample_rate: int):
                 self._send(200, buf.getvalue(), "application/octet-stream")
             else:
                 self._send(200, _wav_bytes(audio, sample_rate), "audio/wav")
+
+        def _generate_long(self):
+            """Stream long-form audio as chunked 16-bit PCM: the first bytes
+            leave after the first window (~0.2 s of compute on a v5e), not
+            after the whole clip. Content-Type audio/L16 (interleaved,
+            big-endian per RFC 2586 is NOT used — little-endian s16le,
+            declared via X-Audio-Format for simplicity of clients)."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                prompt = payload["prompt"]
+                total_seconds = float(payload["total_seconds"])
+            except (KeyError, ValueError) as e:
+                self._send(
+                    400,
+                    json.dumps({"error": f"bad request: {e}"}).encode(),
+                    "application/json",
+                )
+                return
+            stream = service.submit_stream(
+                prompt, total_seconds,
+                window_seconds=payload.get("window_seconds"),
+                context_seconds=payload.get("context_seconds"),
+                steps=payload.get("steps"),
+                seed=int(payload.get("seed", -1)),
+                use_gdm=bool(payload.get("use_gdm", False)),
+            )
+            try:
+                first = next(stream)  # generate errors surface as HTTP 500
+            except StopIteration:
+                self._send(200, b"", "audio/L16")
+                return
+            except Exception as e:  # noqa: BLE001
+                self._send(
+                    500, json.dumps({"error": str(e)}).encode(), "application/json"
+                )
+                return
+            channels = first.shape[0]
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/L16")
+            self.send_header("X-Audio-Format", "s16le")
+            self.send_header("X-Sample-Rate", str(sample_rate))
+            self.send_header("X-Channels", str(channels))
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(arr):
+                pcm = np.clip(arr.T, -1.0, 1.0)  # (n, ch)
+                data = (pcm * 32767.0).astype("<i2").tobytes()
+                self.wfile.write(f"{len(data):X}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            write_chunk(first)
+            for chunk in stream:
+                write_chunk(chunk)
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

@@ -264,3 +264,15 @@ class TestGenerateLong:
         with pytest.raises(AssertionError, match="context"):
             jen1.generate_long("x", total_seconds=2, window_seconds=1,
                                context_seconds=1, steps=2)
+
+    def test_stream_concatenates_to_whole(self, jen1):
+        """generate_long_stream chunks must concatenate EXACTLY to the
+        generate_long output (crossfade regions withheld until final)."""
+        kw = dict(total_seconds=2.5, window_seconds=1.0, context_seconds=0.5,
+                  seed=13, steps=2)
+        whole = jen1.generate_long("an endless tune", **kw)
+        chunks = list(jen1.generate_long_stream("an endless tune", **kw))
+        assert len(chunks) >= 3  # one per window: streaming, not buffering
+        np.testing.assert_array_equal(
+            np.concatenate(chunks, axis=-1), whole
+        )

@@ -134,3 +134,36 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=30)
         assert exc_info.value.code == 400
+
+    def test_generate_long_streams_pcm(self, server, tiny_jen1):
+        """Chunked long-form endpoint: s16le PCM matching the in-process
+        generate_long output for the same seed."""
+        body = {
+            "prompt": "stream me", "total_seconds": 2.5,
+            "window_seconds": 1.0, "context_seconds": 0.5,
+            "steps": 2, "seed": 13,
+        }
+        req = urllib.request.Request(
+            f"{server}/generate_long",
+            data=json.dumps(body).encode(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.headers["X-Sample-Rate"] == "1600"
+            assert r.headers["X-Channels"] == "2"
+            data = r.read()
+        got = np.frombuffer(data, "<i2").reshape(-1, 2)
+        expected = tiny_jen1.generate_long(
+            "stream me", total_seconds=2.5, window_seconds=1.0,
+            context_seconds=0.5, seed=13, steps=2,
+        )[0]  # (ch, T)
+        exp_pcm = (np.clip(expected.T, -1, 1) * 32767.0).astype("<i2")
+        assert got.shape == exp_pcm.shape == (int(2.5 * 1600), 2)
+        np.testing.assert_array_equal(got, exp_pcm)
+
+    def test_generate_long_bad_request(self, server):
+        req = urllib.request.Request(
+            f"{server}/generate_long", data=b'{"prompt": "x"}', method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400  # total_seconds missing
