@@ -243,7 +243,9 @@ class Config:
     # than at -1.0 (0.22 s vs 0.85 s per 30 s clip) — low effort only saves
     # compile time on pathological hosts; set -1.0 there.
     compile_effort: Optional[float] = None
-    use_ddp: bool = False  # kept for parity; superseded by `parallel`
+    # (the reference's `use_ddp` flag has no equivalent here: parallelism is
+    # mesh-based — see `parallel_config`. Constructing Config(use_ddp=...)
+    # raises TypeError by design.)
     use_fp16: bool = True  # on TPU this selects bf16 compute
     use_ema: bool = False
     ema_decay: float = 0.999

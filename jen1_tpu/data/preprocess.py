@@ -51,6 +51,7 @@ def encode(
     batch_size: int = 8,
     codec=None,
     segmented: bool = False,
+    codec_weights: Optional[str] = None,
 ) -> None:
     """Encode fixed-length windows of every file to latent .npy, in device
     batches through the JAX codec. segmented=True uses the reference's exact
@@ -59,10 +60,11 @@ def encode(
     reference-trained checkpoints."""
     import jax.numpy as jnp
 
-    from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
+    from jen1_tpu.codec.model import make_codec
 
     if codec is None:
-        codec = EncodecModel(encodec_48khz_config())
+        codec = make_codec(codec_weights,
+                           warn_context="offline latent preprocessing")
 
     audio_dir = os.path.join(dataset_dir, "audios")
     meta_dir = os.path.join(dataset_dir, "metadata")
@@ -127,6 +129,9 @@ def main():
     p.add_argument("--segmented", action="store_true",
                    help="reference-exact latent pipeline (per-1s segment "
                         "normalization; needed for reference .pth parity)")
+    p.add_argument("--codec-weights", default=None,
+                   help="pretrained EnCodec-48k torch state_dict; without it "
+                        "the codec is random-init and latents are noise")
     args = p.parse_args()
     if args.command == "scan":
         scan(args.dataset_dir, args.out)
@@ -137,6 +142,7 @@ def main():
             sample_duration=args.sample_duration,
             batch_size=args.batch_size,
             segmented=args.segmented,
+            codec_weights=args.codec_weights,
         )
 
 

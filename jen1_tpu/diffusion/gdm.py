@@ -293,8 +293,9 @@ class GaussianDiffusion:
         """DDIM sampler (gdm.py:181-225) as one lax.scan.
 
         encoder_reuse > 1 enables encoder propagation ("Faster Diffusion",
-        arXiv:2312.09608): the UNet encoder (down stack) runs only every
-        `encoder_reuse`-th step and on the final step; in between, the
+        arXiv:2312.09608): the UNet encoder (down stack) runs on the first
+        step of every `encoder_reuse`-step block AND always on the final
+        step (whose x_start is the returned sample); in between, the
         decoder runs against the cached encoder features (deep features
         change slowly across adjacent t). Training-free acceleration at a
         small fidelity cost; requires the model to accept
@@ -344,6 +345,13 @@ class GaussianDiffusion:
             k = int(encoder_reuse)
             S = self.sampling_timesteps
             n_blocks, tail = divmod(S, k)
+            if tail == 0 and n_blocks > 0:
+                # peel the last block out of the scan so its final step can
+                # run a full forward (see the tail loop below): the final
+                # step's x_start IS the returned sample, so it must never be
+                # decoder-only against a stale cache
+                n_blocks -= 1
+                tail = k
             main = time_pairs[: n_blocks * k].reshape(n_blocks, k, 2)
 
             def call(audio, time_cond, rng_cfg, enc_cache):
@@ -379,13 +387,17 @@ class GaussianDiffusion:
             (audio, step), _ = jax.lax.scan(
                 block_body, (audio0, 0), main
             )
-            # tail steps (S % k): full forwards, statically unrolled
+            # tail steps, statically unrolled: encoder reuse continues within
+            # the tail, but the FINAL step always runs a full forward
+            cache = None
             for r in range(tail):
+                is_final = (n_blocks * k + r) == S - 1
                 time, time_next = time_pairs[n_blocks * k + r]
                 step_rng = jax.random.fold_in(rng_loop, step + r)
                 rng_cfg, rng_noise = jax.random.split(step_rng)
                 time_cond = jnp.full((batch,), time, dtype=jnp.int32)
-                model_out, _ = call(audio, time_cond, rng_cfg, None)
+                use_cache = cache if (r % k != 0 and not is_final) else None
+                model_out, cache = call(audio, time_cond, rng_cfg, use_cache)
                 pred_noise, x_start = self._predictions_from_out(
                     model_out, audio, time_cond, clip_denoised
                 )
@@ -579,6 +591,17 @@ class GaussianDiffusion:
         {"exec_time_optimization_effort": -1.0} for hosts with
         pathologically slow compilers (default effort is otherwise both
         faster-running and similarly fast to compile — measured on v5e)."""
+        if encoder_reuse > 1:
+            # validate BEFORE the mode dispatch so no branch can silently
+            # ignore the flag (ADVICE r1: stepwise returned before this check
+            # and ran at full cost with no error)
+            if mode == "stepwise":
+                raise ValueError(
+                    "encoder_reuse>1 requires mode='scan' or 'dpm++'; the "
+                    "stepwise sampler does not implement encoder propagation"
+                )
+            if not self.is_ddim_sampling and mode != "dpm++":
+                raise ValueError("encoder_reuse is implemented for DDIM sampling")
         if mode == "dpm++":
             assert not return_all_timesteps
             from jen1_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
@@ -596,8 +619,6 @@ class GaussianDiffusion:
                 causal=causal, init_data=init_data,
                 compiler_options=compiler_options,
             )
-        if encoder_reuse > 1 and not self.is_ddim_sampling:
-            raise ValueError("encoder_reuse is implemented for DDIM sampling")
         if self.is_ddim_sampling:
             return self.ddim_sample(
                 model_fn,

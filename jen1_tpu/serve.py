@@ -17,6 +17,14 @@ deployment surface a production user needs on TPU:
     body {"prompt": str, "seconds": float, "steps": int, "seed": int,
     "format": "wav"|"npy"} returns audio/wav (16-bit PCM) or an .npy
     tensor; GET /healthz returns readiness + serving stats.
+  * overload behavior: admission is bounded by `max_queue`; beyond it,
+    `submit` raises ServiceOverloaded and the HTTP layer answers
+    503 + Retry-After (estimated from the dispatcher's EWMA batch time)
+    instead of stalling every caller until timeout. `close()` drains:
+    new work is refused, queued work completes, then the dispatcher stops.
+  * seed semantics: requests with an explicit seed are never co-batched
+    (each runs as lane 0 of its own padded batch), so seed=N is exactly
+    reproducible. Default-seed requests (seed=-1) co-batch freely.
 
 Usage:
     jen1-serve --ckpt ckpts/ --port 8000
@@ -27,16 +35,34 @@ Usage:
 from __future__ import annotations
 
 import io
+import itertools
 import json
+import math
 import queue
 import threading
 import time
 import wave
+from collections import deque
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 
 import numpy as np
+
+
+class ServiceOverloaded(RuntimeError):
+    """Admission queue is full; retry after `retry_after` seconds."""
+
+    def __init__(self, retry_after: float):
+        super().__init__(f"service overloaded, retry after {retry_after:.0f}s")
+        self.retry_after = retry_after
+
+
+class ServiceClosed(RuntimeError):
+    """The service is draining/shut down and accepts no new work."""
+
+
+_REQ_IDS = itertools.count()
 
 
 @dataclass
@@ -46,14 +72,20 @@ class _Request:
     steps: int
     seed: int
     use_gdm: bool
+    uid: int = field(default_factory=lambda: next(_REQ_IDS))
     done: threading.Event = field(default_factory=threading.Event)
     audio: Optional[np.ndarray] = None  # (ch, T)
     error: Optional[str] = None
 
     @property
     def batch_key(self):
-        # requests sharing a key share one compiled graph & one device batch
-        return (float(self.seconds), int(self.steps), bool(self.use_gdm))
+        # requests sharing a key share one compiled graph & one device batch.
+        # An explicit seed makes the key unique: the request runs as lane 0 of
+        # its own padded batch, so seed=N is exactly reproducible (module
+        # docstring "seed semantics").
+        seed_key = None if self.seed == -1 else self.uid
+        return (float(self.seconds), int(self.steps), bool(self.use_gdm),
+                seed_key)
 
 
 class GenerationService:
@@ -67,26 +99,49 @@ class GenerationService:
         max_wait_ms: float = 200.0,
         default_seconds: float = 30.0,
         default_steps: int = 100,
+        max_queue: int = 32,
     ):
         self.jen1 = jen1
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
         self.default_seconds = default_seconds
         self.default_steps = default_steps
+        self.max_queue = int(max_queue)
         self.stats: Dict[str, Any] = {
             "requests": 0, "batches": 0, "padded_lanes": 0, "errors": 0,
-            "streams": 0, "busy": False,
+            "rejected": 0, "streams": 0, "busy": False,
         }
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # Requests pulled off the queue but not co-batchable with the batch
+        # being formed wait here and are consulted BEFORE the queue, so a
+        # bumped request is first in line for the next batch of its key
+        # (never starved by sustained traffic of another key).
+        self._pending: "deque[_Request]" = deque()
+        # admitted-but-not-finished count, bounded by max_queue
+        self._depth = 0
+        self._depth_lock = threading.Lock()
+        # EWMA of device batch wall time, for Retry-After estimates
+        self._batch_secs_ewma = 1.0
         # One jitted program runs at a time: batch dispatch and long-form
         # streams share the device through this lock, interleaving at
         # window granularity.
         self._device_lock = threading.Lock()
+        self._draining = threading.Event()
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="jen1-dispatcher", daemon=True
         )
         self._thread.start()
+
+    @property
+    def queue_depth(self) -> int:
+        with self._depth_lock:
+            return self._depth
+
+    def _retry_after(self, depth: int) -> float:
+        # full queue drains in ~depth/max_batch device batches
+        batches = math.ceil(max(1, depth) / self.max_batch)
+        return max(1.0, batches * self._batch_secs_ewma)
 
     # ------------------------------------------------------------- public
 
@@ -100,7 +155,19 @@ class GenerationService:
         timeout: Optional[float] = None,
     ) -> np.ndarray:
         """Blocking: returns (channels, samples) float32. Raises RuntimeError
-        on generation failure, TimeoutError if the deadline passes."""
+        on generation failure, TimeoutError if the deadline passes,
+        ServiceOverloaded when the admission queue is full, ServiceClosed
+        after close()."""
+        if self._draining.is_set():
+            raise ServiceClosed("service is shutting down")
+        with self._depth_lock:
+            depth = self._depth
+            admitted = depth < self.max_queue
+            if admitted:
+                self._depth += 1
+        if not admitted:
+            self.stats["rejected"] += 1
+            raise ServiceOverloaded(self._retry_after(depth))
         req = _Request(
             prompt=str(prompt),
             seconds=float(seconds if seconds is not None else self.default_seconds),
@@ -131,6 +198,8 @@ class GenerationService:
         each window completes (Jen1.generate_long_stream). The device lock is
         held per window, so queued short requests interleave between
         windows."""
+        if self._draining.is_set():
+            raise ServiceClosed("service is shutting down")
         window = float(
             window_seconds if window_seconds is not None else self.default_seconds
         )
@@ -154,22 +223,49 @@ class GenerationService:
                     return
             yield np.asarray(chunk)[0]  # (ch, n_new)
 
-    def close(self) -> None:
+    def close(self, drain_timeout: float = 60.0) -> None:
+        """Graceful shutdown: refuse new work, let already-admitted requests
+        finish (up to drain_timeout), then stop the dispatcher."""
+        self._draining.set()
+        deadline = time.time() + drain_timeout
+        while self.queue_depth > 0 and time.time() < deadline:
+            time.sleep(0.02)
         self._stop.set()
         self._thread.join(timeout=5.0)
 
     # ---------------------------------------------------------- internals
 
+    def _finish(self, req: _Request, error: Optional[str] = None) -> None:
+        if error is not None:
+            req.error = error
+        with self._depth_lock:
+            self._depth -= 1
+        req.done.set()
+
+    def _next_request(self, timeout: float) -> Optional[_Request]:
+        if self._pending:
+            return self._pending.popleft()
+        try:
+            return self._queue.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
     def _collect_batch(self) -> List[_Request]:
         """Block for one request, then drain co-batchable ones (same
-        batch_key) for up to max_wait_ms."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
+        batch_key) for up to max_wait_ms. Bumped different-key requests go
+        to the head-of-line `_pending` deque, not the back of the queue."""
+        first = self._next_request(timeout=0.1)
+        if first is None:
             return []
         batch = [first]
+        # older bumped requests of the same key ride this batch first
+        for req in list(self._pending):
+            if len(batch) >= self.max_batch:
+                break
+            if req.batch_key == first.batch_key:
+                self._pending.remove(req)
+                batch.append(req)
         deadline = time.time() + self.max_wait_ms / 1e3
-        leftovers: List[_Request] = []
         while len(batch) < self.max_batch:
             remaining = deadline - time.time()
             if remaining <= 0:
@@ -181,25 +277,30 @@ class GenerationService:
             if req.batch_key == first.batch_key:
                 batch.append(req)
             else:
-                leftovers.append(req)  # different graph: next batch
-        for req in leftovers:
-            self._queue.put(req)
+                self._pending.append(req)  # different graph: next batch
         return batch
 
     def _dispatch_loop(self) -> None:
-        while not self._stop.is_set():
+        while True:
+            if self._stop.is_set() and not self._pending \
+                    and self._queue.empty():
+                return
             batch = self._collect_batch()
             if not batch:
                 continue
             self.stats["busy"] = True
+            t0 = time.time()
             try:
                 with self._device_lock:
                     self._run_batch(batch)
+                self._batch_secs_ewma = (
+                    0.7 * self._batch_secs_ewma + 0.3 * (time.time() - t0)
+                )
             except Exception as e:  # noqa: BLE001 — report to the callers
                 self.stats["errors"] += 1
                 for req in batch:
-                    req.error = f"{type(e).__name__}: {e}"
-                    req.done.set()
+                    if not req.done.is_set():
+                        self._finish(req, error=f"{type(e).__name__}: {e}")
             finally:
                 self.stats["busy"] = False
 
@@ -208,13 +309,12 @@ class GenerationService:
         n_pad = self.max_batch - len(batch)
         prompts = [r.prompt for r in batch] + [""] * n_pad
         first = batch[0]
-        # one device seed per batch; per-request seeds fold in by lane so a
-        # request's audio is reproducible only via explicit seed= on a lane-0
-        # submission (documented limitation of batched serving)
-        seed = first.seed if first.seed != -1 else None
+        # An explicit seed implies a singleton batch (batch_key includes the
+        # request uid), so the seeded request is always lane 0 of its padded
+        # batch — exactly reproducible. Default-seed batches run fresh noise.
         audio = self.jen1.generate(
             prompts,
-            seed=-1 if seed is None else seed,
+            seed=first.seed,
             steps=first.steps,
             batch_size=self.max_batch,
             seconds=first.seconds,
@@ -225,7 +325,7 @@ class GenerationService:
         self.stats["padded_lanes"] += n_pad
         for lane, req in enumerate(batch):
             req.audio = audio[lane]
-            req.done.set()
+            self._finish(req)
 
 
 def _wav_bytes(audio_ct: np.ndarray, sample_rate: int) -> bytes:
@@ -250,16 +350,24 @@ def make_handler(service: GenerationService, sample_rate: int):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
-        def _send(self, code: int, body: bytes, ctype: str) -> None:
+        def _send(self, code: int, body: bytes, ctype: str,
+                  headers: Optional[Dict[str, str]] = None) -> None:
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
         def do_GET(self):
             if self.path == "/healthz":
-                body = json.dumps({"ok": True, **service.stats}).encode()
+                body = json.dumps({
+                    "ok": not service._draining.is_set(),
+                    "queue_depth": service.queue_depth,
+                    "max_queue": service.max_queue,
+                    **service.stats,
+                }).encode()
                 self._send(200, body, "application/json")
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
@@ -294,6 +402,19 @@ def make_handler(service: GenerationService, sample_rate: int):
             except TimeoutError:
                 self._send(
                     504, b'{"error": "generation timed out"}', "application/json"
+                )
+                return
+            except ServiceOverloaded as e:
+                self._send(
+                    503, json.dumps({"error": str(e)}).encode(),
+                    "application/json",
+                    headers={"Retry-After": str(int(math.ceil(e.retry_after)))},
+                )
+                return
+            except ServiceClosed as e:
+                self._send(
+                    503, json.dumps({"error": str(e)}).encode(),
+                    "application/json",
                 )
                 return
             except RuntimeError as e:
@@ -340,6 +461,11 @@ def make_handler(service: GenerationService, sample_rate: int):
             except StopIteration:
                 self._send(200, b"", "audio/L16")
                 return
+            except ServiceClosed as e:
+                self._send(
+                    503, json.dumps({"error": str(e)}).encode(), "application/json"
+                )
+                return
             except Exception as e:  # noqa: BLE001
                 self._send(
                     500, json.dumps({"error": str(e)}).encode(), "application/json"
@@ -375,9 +501,11 @@ def serve(
     port: int = 8000,
     max_batch: int = 4,
     max_wait_ms: float = 200.0,
+    max_queue: int = 32,
 ) -> ThreadingHTTPServer:
     """Build (but do not run) the HTTP server; call .serve_forever()."""
-    service = GenerationService(jen1, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    service = GenerationService(jen1, max_batch=max_batch,
+                                max_wait_ms=max_wait_ms, max_queue=max_queue)
     httpd = ThreadingHTTPServer(
         (host, port), make_handler(service, jen1.sample_rate)
     )
@@ -399,6 +527,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--max-wait-ms", type=float, default=200.0)
+    p.add_argument("--max-queue", type=int, default=32,
+                   help="admission bound; beyond it requests get 503")
     args = p.parse_args(argv)
 
     enable_compile_cache()
@@ -407,9 +537,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     httpd = serve(
         jen1, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue,
     )
     print(f"jen1-serve listening on {args.host}:{httpd.server_address[1]}")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        httpd.service.close()  # drain admitted work before exit
 
 
 if __name__ == "__main__":

@@ -40,13 +40,18 @@ from jen1_tpu.utils.logger import MetricLogger, get_logger
 _CODEC = None
 
 
-def _get_codec():
-    """Process-wide codec for on-the-fly wav->latent encoding."""
+def _get_codec(config: Config):
+    """Process-wide codec for on-the-fly wav->latent encoding. Loads
+    config.codec_weights_path (warns loudly if unset — a random codec turns
+    raw wavs into noise latents; reference loads pretrained EnCodec in its
+    dataloader, dataset/dataloader.py:106-115)."""
     global _CODEC
     if _CODEC is None:
-        from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
+        from jen1_tpu.codec.model import make_codec
 
-        _CODEC = EncodecModel(encodec_48khz_config())
+        _CODEC = make_codec(
+            config.codec_weights_path, warn_context="training (wav->latent)"
+        )
     return _CODEC
 
 
@@ -112,7 +117,7 @@ def run(
 
     def encode(latents):
         if dc.latents_dir is None:
-            codec = _get_codec()
+            codec = _get_codec(config)
             if config.codec_segmented_latents:
                 latents = np.asarray(codec.encode_latent_segmented(latents))
             else:

@@ -13,14 +13,22 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/jen1_tpu_xla")
 
 
+def _env_flag(name: str, default: bool) -> bool:
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val.strip().lower() not in ("0", "false", "no", "")
+
+
 def enable_compile_cache(directory: str | None = None) -> None:
     import jax
 
-    if jax.default_backend() == "cpu":
-        # XLA:CPU AOT cache entries are written with compile-target pseudo-
-        # features (+prefer-no-scatter/+prefer-no-gather) that fail the
-        # loader's host-feature check on this image — entries never load
-        # back, so the cache is pure serialization overhead on CPU.
+    if jax.default_backend() == "cpu" and _env_flag("JEN1_TPU_NO_CPU_CACHE", True):
+        # On this image, XLA:CPU AOT cache entries are written with compile-
+        # target pseudo-features (+prefer-no-scatter/+prefer-no-gather) that
+        # fail the loader's host-feature check — entries never load back, so
+        # the cache is pure serialization overhead on CPU. Hosts where CPU
+        # entries DO load can opt back in with JEN1_TPU_NO_CPU_CACHE=0.
         return
     directory = directory or os.environ.get("JEN1_TPU_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(directory, exist_ok=True)

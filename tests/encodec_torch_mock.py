@@ -239,7 +239,14 @@ class SEANetDecoder(nn.Module):
 class _Codebook(nn.Module):
     def __init__(self, bins, dim):
         super().__init__()
+        # the real EuclideanCodebook registers four buffers
+        # (encodec/quantization/core_vq.py); only `embed` matters at
+        # inference, but a faithful state_dict must carry all of them so the
+        # converter's key-coverage accounting is exercised honestly
+        self.register_buffer("inited", torch.tensor([True]))
+        self.register_buffer("cluster_size", torch.zeros(bins))
         self.register_buffer("embed", torch.randn(bins, dim))
+        self.register_buffer("embed_avg", torch.randn(bins, dim))
 
 
 class _VQLayer(nn.Module):
