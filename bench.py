@@ -196,11 +196,17 @@ def child_main() -> None:
 
     codec = EncodecModel(encodec_48khz_config())
     decode_mode = os.environ.get("JEN1_BENCH_DECODE", "chunked")
-    if decode_mode == "chunked":
+    if decode_mode.startswith("chunked"):
         # EnCodec-48k's own 1 s-segment semantics, batched: the whole-clip
         # decoder LSTM is a 4500-step sequential lax.scan; 150-frame chunks
         # cut the chain 30x and batch the 31 chunks (codec/model.py).
-        decode = lambda z: codec.decode_latent_chunked(z.astype(jnp.bfloat16))  # noqa: E731
+        # "chunked_bf16" additionally reads bf16 decoder weights (the LSTM
+        # re-reads its weights every scan step; ~40 dB below the fp32 decode,
+        # far under EnCodec's own quantization noise).
+        ddtype = jnp.bfloat16 if decode_mode == "chunked_bf16" else None
+        decode = lambda z: codec.decode_latent_chunked(  # noqa: E731
+            z.astype(jnp.bfloat16), dtype=ddtype
+        )
     else:
         decode = jax.jit(
             lambda z: codec.decoder.apply(
@@ -218,21 +224,29 @@ def child_main() -> None:
         # JEN1_BENCH_ENC_REUSE=2 runs the UNet encoder every 2nd step
         # (Faster-Diffusion encoder propagation, scan mode only).
         enc_reuse = int(os.environ.get("JEN1_BENCH_ENC_REUSE", "1"))
-        sample_latents = jax.jit(
-            lambda rng: gdm.sample(
+
+        def raw_sample(rng):
+            return gdm.sample(
                 model_fn, (B, L, C), cond, rng, causal=False,
                 mode="dpm++" if mode == "dpm++" else "scan",
                 encoder_reuse=enc_reuse,
-            ),
-            compiler_options=OPTS,
+            )
+
+        sample_latents = jax.jit(raw_sample, compiler_options=OPTS)
+        # Headline pipeline: sampler + codec decode FUSED into ONE XLA
+        # program — no latent round-trip to host scheduling between the two,
+        # one dispatch through the tunnel (r2: part of closing the B=1
+        # end-to-end vs in-loop roofline gap).
+        sample = jax.jit(
+            lambda rng: decode(raw_sample(rng)), compiler_options=OPTS
         )
     else:
         def sample_latents(rng):
             return gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
                               mode=mode, compiler_options=OPTS)
 
-    def sample(rng):
-        return decode(sample_latents(rng))
+        def sample(rng):
+            return decode(sample_latents(rng))
 
     # Timing is via a host fetch of a scalar that depends on every output
     # element — NOT block_until_ready: on this tunneled runtime
@@ -260,6 +274,26 @@ def child_main() -> None:
         )
 
     best = min(times)
+
+    if os.environ.get("JEN1_BENCH_BREAKDOWN") == "1":
+        # component walls (each its own program + compile — manual runs only)
+        lat = sample_latents(jax.random.PRNGKey(9))
+        float(checksum(lat))  # warm sampler-only program
+        t0 = time.time()
+        lat = sample_latents(jax.random.PRNGKey(10))
+        float(checksum(lat))
+        t_sample = time.time() - t0
+        float(checksum(decode(lat)))  # warm decode
+        lat2 = lat + 1e-3  # vary args: the tunnel can replay identical
+        # (executable, args) pairs from cache (see timing note above)
+        t0 = time.time()
+        float(checksum(decode(lat2)))
+        t_decode = time.time() - t0
+        note(
+            f"breakdown: sampler={t_sample:.3f}s decode={t_decode:.3f}s "
+            f"fused_total={best:.3f}s glue={best - t_sample - t_decode:.3f}s"
+        )
+
     # MFU estimate: FLOPs of one denoiser forward (CFG-doubled) from XLA's
     # cost analysis x steps / best wall / chip peak (v5e: 197 TFLOP/s bf16).
     try:

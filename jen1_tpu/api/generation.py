@@ -164,7 +164,11 @@ class Jen1:
                     embedding_mask=jnp.ones(
                         (b, mc.context_embedding_max_length), bool
                     ),
-                    channels_list=[jnp.zeros((b, l, mc.in_channels + 1))],
+                    channels_list=[
+                        jnp.zeros(
+                            (b, l, mc.in_channels + max(1, mc.n_tracks))
+                        )
+                    ],
                     causal=False,
                 )
             )(jax.random.PRNGKey(self.config.seed))
@@ -203,6 +207,24 @@ class Jen1:
                     self.config.diffusion_config.variational_diffusion
                 )
         return self._diffusion_cache[key]
+
+    def _make_model_fn(self, params):
+        """fp32-boundary wrapper over the UNet apply (samplers run fp32
+        math around a compute_dtype model)."""
+        compute_dtype = self.compute_dtype
+        model = self.model
+
+        def model_fn(x, t, **kw):
+            kw["embedding"] = kw["embedding"].astype(compute_dtype)
+            chl = kw.get("channels_list")
+            if chl is not None:
+                kw["channels_list"] = [c.astype(compute_dtype) for c in chl]
+            out = model.apply(params, x.astype(compute_dtype), t, **kw)
+            if isinstance(out, tuple):  # (out, encoder_cache)
+                return (out[0].astype(jnp.float32), out[1])
+            return out.astype(jnp.float32)
+
+        return model_fn
 
     # ---------------------------------------------------------- generate
 
@@ -368,19 +390,7 @@ class Jen1:
                 init_emb = jax.device_put(init_emb, batch_sharding(self.mesh))
 
         diffusion = self._get_diffusion(steps, use_gdm)
-        compute_dtype = self.compute_dtype
-        model = self.model
-
-        def model_fn(x, t, **kw):
-            kw["embedding"] = kw["embedding"].astype(compute_dtype)
-            chl = kw.get("channels_list")
-            if chl is not None:
-                kw["channels_list"] = [c.astype(compute_dtype) for c in chl]
-            out = model.apply(params, x.astype(compute_dtype), t, **kw)
-            if isinstance(out, tuple):  # (out, encoder_cache)
-                return (out[0].astype(jnp.float32), out[1])
-            return out.astype(jnp.float32)
-
+        model_fn = self._make_model_fn(params)
         shape = (batch_size, latent_len, latent_dim)
         init_data = None if no_init else init_emb
 
@@ -434,11 +444,19 @@ class Jen1:
             return np.asarray(latents).transpose(0, 2, 1)  # (B, 128, F)
         if decode_mode == "chunked":
             audio = self.codec.decode_latent_chunked(latents)
+        elif decode_mode == "chunked_bf16":
+            # TPU fast path: bf16 decoder weights halve the decoder's
+            # bandwidth-bound weight reads; ~40 dB below the fp32 decode,
+            # well under EnCodec's own quantization noise
+            audio = self.codec.decode_latent_chunked(
+                latents, dtype=jnp.bfloat16
+            )
         elif decode_mode == "whole":
             audio = self.codec.decode_latent(latents)
         else:
             raise ValueError(
-                f"decode_mode must be 'chunked' or 'whole', got {decode_mode!r}"
+                f"decode_mode must be 'chunked', 'chunked_bf16' or 'whole', "
+                f"got {decode_mode!r}"
             )
         return np.asarray(audio).transpose(0, 2, 1)  # (B, ch, T)
 
@@ -546,6 +564,134 @@ class Jen1:
             audio = np.concatenate(
                 [audio[..., :-fade], head, new_tail[..., fade:]], axis=-1
             )
+
+    def generate_tracks(
+        self,
+        prompt,
+        *,
+        seed: int = -1,
+        steps: int = 100,
+        batch_size: int = 1,
+        seconds: float = 30,
+        use_gdm: bool = True,
+        context_tracks: Optional[Dict[int, Any]] = None,
+        context_tracks_sr: Optional[int] = None,
+        decode: bool = True,
+        compiler_options: Optional[Dict[str, Any]] = None,
+    ):
+        """Multi-track generation (JEN-1 Composer capability; the reference
+        is single-track only — BASELINE configs[4]).
+
+        Requires a composer config (jen1_tpu.config.composer_config /
+        model_config.n_tracks > 1): the latent is n_tracks channel groups of
+        codec dims, and `context_tracks` maps track index -> waveform
+        (T, ch) or (B, T, ch) given as CONTEXT; the remaining tracks are
+        generated conditioned on them plus the prompt (the track_gen
+        training task, train/tasks.py). With no context, all tracks are
+        generated jointly — mutually coherent stems.
+
+        Returns (B, n_tracks, channels, samples) float32, or the latent
+        (B, n_tracks * track_dim, frames) when decode=False.
+        """
+        from jen1_tpu.models.composer import (
+            composer_conditioning,
+            split_tracks,
+            track_mask,
+        )
+
+        mc = self.config.model_config
+        n_tracks = mc.n_tracks
+        if n_tracks <= 1:
+            raise ValueError(
+                "generate_tracks needs a composer config "
+                "(model_config.n_tracks > 1); see "
+                "jen1_tpu.config.composer_config"
+            )
+        track_dim = mc.in_channels // n_tracks
+        assert track_dim == self.codec.config.dimension, (
+            f"track_dim {track_dim} != codec latent dim "
+            f"{self.codec.config.dimension}"
+        )
+        if compiler_options is None:
+            effort = getattr(self.config, "compile_effort", None)
+            compiler_options = (
+                {"exec_time_optimization_effort": float(effort)}
+                if effort is not None
+                else {}
+            )
+        seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
+        rng = jax.random.PRNGKey(seed)
+        channels = self.codec.config.channels
+        sample_length = int(seconds * self.sample_rate)
+
+        def encode_wave(wav):
+            wav = np.asarray(wav, np.float32)
+            if wav.ndim == 2:  # (T, ch) -> batch
+                wav = np.repeat(wav[None], batch_size, axis=0)
+            if context_tracks_sr and context_tracks_sr != self.sample_rate:
+                from jen1_tpu.data.audio_io import convert_audio
+
+                wav = np.stack([
+                    convert_audio(a, context_tracks_sr, self.sample_rate,
+                                  channels)
+                    for a in wav
+                ])
+            if wav.shape[1] < sample_length:
+                wav = np.pad(
+                    wav, ((0, 0), (0, sample_length - wav.shape[1]), (0, 0))
+                )
+            wav = wav[:, :sample_length]
+            return self.codec.encode_latent(jnp.asarray(wav))
+
+        # latent geometry from a zero clip (same encode path as generate)
+        zero_emb = encode_wave(np.zeros((sample_length, channels), np.float32))
+        latent_len = zero_emb.shape[1]
+
+        base = jnp.zeros(
+            (batch_size, latent_len, n_tracks * track_dim), jnp.float32
+        )
+        keep = []
+        for ti, wav in (context_tracks or {}).items():
+            if not 0 <= int(ti) < n_tracks:
+                raise ValueError(f"track index {ti} out of range 0..{n_tracks - 1}")
+            lat = encode_wave(wav)
+            base = base.at[..., ti * track_dim : (ti + 1) * track_dim].set(lat)
+            keep.append(int(ti))
+        mask = track_mask(batch_size, latent_len, n_tracks, keep)
+        masked_input, mask_ch = composer_conditioning(base, mask, track_dim)
+
+        params = self._load_params(latent_len)
+        prompts = [prompt] * batch_size if isinstance(prompt, str) else list(prompt)
+        assert len(prompts) == batch_size
+        cond_dict = dict(self.conditioner([{"prompt": p} for p in prompts]))
+        cond_dict["masked_input"] = masked_input.astype(self.compute_dtype)
+        cond_dict["mask"] = mask_ch.astype(self.compute_dtype)
+        conditioning = assemble_conditioning(
+            cond_dict,
+            cross_attn_cond_ids=self.cross_attn_cond_ids,
+            global_cond_ids=self.global_cond_ids,
+            input_concat_ids=self.input_concat_ids,
+        )
+
+        diffusion = self._get_diffusion(steps, use_gdm)
+        model_fn = self._make_model_fn(params)
+        shape = (batch_size, latent_len, n_tracks * track_dim)
+        step_kw = {} if use_gdm else {"step": steps}
+        sample_fn = jax.jit(
+            lambda r, c: diffusion.sample(
+                model_fn, shape, c, r, causal=False, **step_kw
+            ),
+            compiler_options=compiler_options or None,
+        )
+        latents = sample_fn(jax.random.fold_in(rng, 2), conditioning)
+
+        if not decode:
+            return np.asarray(latents).transpose(0, 2, 1)  # (B, n*D, F)
+        # decode all tracks as ONE batched codec call: (n_tracks*B, F, D)
+        per_track = jnp.concatenate(split_tracks(latents, n_tracks), axis=0)
+        audio = np.asarray(self.codec.decode_latent_chunked(per_track))
+        audio = audio.reshape(n_tracks, batch_size, *audio.shape[1:])
+        return audio.transpose(1, 0, 3, 2)  # (B, n_tracks, ch, T)
 
     @staticmethod
     def _get_mask(

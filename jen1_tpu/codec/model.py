@@ -121,6 +121,7 @@ class EncodecModel:
             ).quantize_latent(z)
         )
         self._chunked_jit: dict = {}
+        self._decoder_params_bf16 = None
 
     # ------------------------------------------------------------ direct
 
@@ -194,11 +195,23 @@ class EncodecModel:
             return pieces[0]
         return _linear_overlap_add(pieces, stride)
 
+    def decoder_params_bf16(self):
+        """Cached bf16 copy of the decoder params for the TPU fast decode
+        path: the decoder LSTM re-reads its weights every scan step, so
+        halving the weight bytes roughly halves the bandwidth-bound decode
+        wall. Cast once, reused across calls."""
+        if self._decoder_params_bf16 is None:
+            self._decoder_params_bf16 = jax.tree.map(
+                lambda w: w.astype(jnp.bfloat16), self.params["decoder"]
+            )
+        return self._decoder_params_bf16
+
     def decode_latent_chunked(
         self,
         latent: jnp.ndarray,
         chunk_frames: int = 150,
         hop_frames: int = 148,
+        dtype: Optional[jnp.dtype] = None,
     ) -> jnp.ndarray:
         """latent (B, F, D) -> audio (B, F*hop_length, ch), decoding
         overlapping latent chunks as ONE batched decoder call + triangular
@@ -220,7 +233,8 @@ class EncodecModel:
             return self.decode_latent(latent)[:, : f * hop]
         n = max(1, math.ceil((f - chunk_frames) / hop_frames) + 1)
         pad = (n - 1) * hop_frames + chunk_frames - f
-        key = (chunk_frames, hop_frames, n, b)
+        use_bf16 = dtype == jnp.bfloat16
+        key = (chunk_frames, hop_frames, n, b, use_bf16)
         fn = self._chunked_jit.get(key)
         if fn is None:
             fn = jax.jit(
@@ -229,7 +243,15 @@ class EncodecModel:
                 )
             )
             self._chunked_jit[key] = fn
-        audio = fn(self.params, jnp.pad(latent, ((0, 0), (0, pad), (0, 0))))
+        params = (
+            {"decoder": self.decoder_params_bf16()}
+            if use_bf16
+            else self.params
+        )
+        latent = jnp.pad(latent, ((0, 0), (0, pad), (0, 0)))
+        if use_bf16:
+            latent = latent.astype(jnp.bfloat16)
+        audio = fn(params, latent)
         return audio[:, : f * hop]
 
     def codes_to_latent(self, codes: jnp.ndarray) -> jnp.ndarray:

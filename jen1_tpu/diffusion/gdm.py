@@ -240,8 +240,13 @@ class GaussianDiffusion:
         *,
         noise: Optional[jnp.ndarray] = None,
         causal: bool = False,
+        reduce: str = "mean",
     ) -> jnp.ndarray:
-        """Diffusion loss (reference `training_loosses`, gdm.py:245-272)."""
+        """Diffusion loss (reference `training_loosses`, gdm.py:245-272).
+
+        reduce='none' returns the per-example loss (B,) — the trainer groups
+        same-causal-flag tasks into one batched forward and segment-means
+        per task afterwards."""
         rng_noise, rng_cfg = jax.random.split(rng)
         if noise is None:
             noise = self._noise_like(rng_noise, x_start)
@@ -267,7 +272,7 @@ class GaussianDiffusion:
             if self.loss_type == "l1"
             else jnp.mean(jnp.square(err), axis=tuple(range(1, nd)))
         )
-        return jnp.mean(per_ex)
+        return per_ex if reduce == "none" else jnp.mean(per_ex)
 
     # --------------------------------------------------------- samplers
 

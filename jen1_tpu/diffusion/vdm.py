@@ -111,8 +111,12 @@ class VDM:
         noise: Optional[jnp.ndarray] = None,
         times: Optional[jnp.ndarray] = None,
         causal: bool = False,
+        reduce: str = "mean",
     ) -> jnp.ndarray:
-        """Reference `training_loosses` (vdm.py:91-109): t ~ U(0,1) per example."""
+        """Reference `training_loosses` (vdm.py:91-109): t ~ U(0,1) per example.
+
+        reduce='none' returns the per-example loss (B,) for the trainer's
+        causal-grouped batched forwards."""
         rng_t, rng_noise, rng_cfg = jax.random.split(rng, 3)
         b = x_start.shape[0]
         if times is None:
@@ -132,7 +136,7 @@ class VDM:
             if self.loss_type == "l1"
             else jnp.mean(jnp.square(err), axis=tuple(range(1, nd)))
         )
-        return jnp.mean(per_ex)
+        return per_ex if reduce == "none" else jnp.mean(per_ex)
 
     # --------------------------------------------------------------- sample
 

@@ -87,7 +87,10 @@ def frechet_distance(
     diff = mu1 - mu2
     s1h = _sqrtm_psd(sigma1)
     covmean = _sqrtm_psd(s1h @ sigma2 @ s1h)
-    return jnp.dot(diff, diff) + jnp.trace(sigma1 + sigma2 - 2.0 * covmean)
+    dist = jnp.dot(diff, diff) + jnp.trace(sigma1 + sigma2 - 2.0 * covmean)
+    # mathematically >= 0; eigh noise can produce tiny negatives for
+    # near-identical Gaussians (standard FID implementations clamp too)
+    return jnp.maximum(dist, 0.0)
 
 
 def _fit_gaussian(emb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -42,15 +42,38 @@ def _load_dir(path: str, sr: int, max_seconds: float):
     return np.stack([c[:t_min] for c in clips])
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--reference-dir", required=True)
-    p.add_argument("--candidate-dir", required=True)
+    p.add_argument("--reference-dir", default=None)
+    p.add_argument("--candidate-dir", default=None)
     p.add_argument("--sr", type=int, default=48_000)
     p.add_argument("--max-seconds", type=float, default=30.0)
     p.add_argument("--vggish-weights", default=None,
                    help="local torchvggish checkpoint for canonical FAD")
-    args = p.parse_args()
+    p.add_argument("--against-reference", action="store_true",
+                   help="FAD vs the PyTorch reference at a shared checkpoint "
+                        "and matched injected noise (BASELINE north star; "
+                        "see eval/fad_reference.py for the protocol)")
+    p.add_argument("--reference-path", default="/root/reference",
+                   help="checkout of 0417keito/JEN-1-pytorch "
+                        "(--against-reference only)")
+    p.add_argument("--n-clips", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.against_reference:
+        from jen1_tpu.eval.fad_reference import fad_against_reference
+
+        report = fad_against_reference(
+            n_clips=args.n_clips, seed=args.seed,
+            vggish_weights=args.vggish_weights,
+            reference_path=args.reference_path,
+        )
+        print(json.dumps(report))
+        return 0
+    if not (args.reference_dir and args.candidate_dir):
+        p.error("--reference-dir/--candidate-dir are required "
+                "(or pass --against-reference)")
 
     import jax.numpy as jnp
 

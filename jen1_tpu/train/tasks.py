@@ -23,12 +23,27 @@ import jax
 import jax.numpy as jnp
 
 TASKS = ("text_guided", "music_inpaint", "music_cont")
+# Composer (multi-track) adds the track-subset generation task: a random
+# subset of tracks is given as context and the rest are generated
+# (models/composer.py; BASELINE configs[4] — no reference counterpart).
+COMPOSER_TASKS = TASKS + ("track_gen",)
 
 
 def random_task_mask(
-    rng: jax.Array, batch: int, length: int, task: str
+    rng: jax.Array, batch: int, length: int, task: str, n_tracks: int = 1
 ) -> jnp.ndarray:
-    """Returns mask (batch, length, 1) float32; 1 = keep, 0 = hidden."""
+    """Returns mask (batch, length, n_tracks) float32; 1 = keep, 0 = hidden.
+
+    With n_tracks > 1 (Composer), the temporal tasks tile their mask over
+    every track channel, and 'track_gen' draws a random track subset
+    (random_track_mask) instead of a temporal region."""
+    if task == "track_gen":
+        if n_tracks <= 1:
+            raise ValueError("track_gen task needs model_config.n_tracks > 1")
+        from jen1_tpu.models.composer import random_track_mask
+
+        return random_track_mask(rng, batch, length, n_tracks)
+
     idx = jnp.arange(length)[:, None]  # (L, 1)
     lo = max(int(0.2 * length), 1)
     hi = max(int(0.8 * length), lo + 1)
@@ -48,7 +63,7 @@ def random_task_mask(
     else:
         raise ValueError(f"unknown task: {task}")
 
-    return jnp.broadcast_to(mask[None], (batch, length, 1))
+    return jnp.broadcast_to(mask[None], (batch, length, n_tracks))
 
 
 def task_is_causal(task: str, text_guided_causal: bool) -> bool:
@@ -60,6 +75,8 @@ def task_is_causal(task: str, text_guided_causal: bool) -> bool:
         return False
     if task == "music_cont":
         return True
+    if task == "track_gen":
+        return False  # track context is bidirectional by construction
     raise ValueError(f"unknown task: {task}")
 
 

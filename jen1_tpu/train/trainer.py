@@ -31,8 +31,9 @@ import jax.numpy as jnp
 import optax
 
 from jen1_tpu.conditioning.conditioners import assemble_conditioning
+from jen1_tpu.models.composer import composer_conditioning
 from jen1_tpu.train.optim import make_optimizer
-from jen1_tpu.train.tasks import apply_mask, random_task_mask, task_is_causal
+from jen1_tpu.train.tasks import random_task_mask, task_is_causal
 
 
 @flax.struct.dataclass
@@ -69,6 +70,11 @@ class UnifiedMultiTaskTrainer:
         )
         self.use_ema = config.use_ema
         self.ema_decay = config.ema_decay
+        # Composer multi-track layout: masks carry one channel per track and
+        # multiply track-sized channel groups of the latent (n_tracks=1 is
+        # the standard single-track case, mask (B, L, 1))
+        self.n_tracks = max(1, getattr(config.model_config, "n_tracks", 1))
+        self.track_dim = config.model_config.in_channels // self.n_tracks
         self.compute_dtype = (
             jnp.bfloat16 if config.model_config.dtype == "bfloat16" else jnp.float32
         )
@@ -89,7 +95,7 @@ class UnifiedMultiTaskTrainer:
         b, l, c = latents.shape
         emb = sample_batch["text_emb"]
         mask = sample_batch["text_mask"]
-        concat = jnp.zeros((b, l, c + 1), latents.dtype)
+        concat = jnp.zeros((b, l, c + self.n_tracks), latents.dtype)
         params = self.model.init(
             rng,
             latents,
@@ -142,7 +148,15 @@ class UnifiedMultiTaskTrainer:
         rng: jax.Array,
         causal_flags: Tuple[bool, ...],
     ):
-        """Split into per-task sub-batches and sum losses (trainer.py:183-213)."""
+        """Split into per-task sub-batches and sum losses (trainer.py:183-213).
+
+        TPU-first: tasks sharing a causal flag are CONCATENATED into one
+        batched model forward (the reference runs one forward per task,
+        trainer.py:189-213). The UNet graph is identical for same-flag tasks
+        — only the masks differ, and those are data — so 3 forwards/step
+        collapse to <=2 and the per-forward batch triples at the reference's
+        batch-3 default, where the step is launch/utilization-bound rather
+        than FLOPs-bound."""
         n_tasks = len(self.tasks)
         b = latents.shape[0]
         assert b % n_tasks == 0, "batch size must be divisible by the number of tasks"
@@ -151,15 +165,21 @@ class UnifiedMultiTaskTrainer:
         def model_fn(x, t, **kw):
             return self.model.apply({"params": params}, x, t, **kw)
 
-        total = 0.0
-        per_task = {}
+        is_gdm = self.config.diffusion_type == "gdm"
+        pieces = []
         for i, (task, causal) in enumerate(zip(self.tasks, causal_flags)):
             s = slice(i * sub, (i + 1) * sub)
             sub_lat = latents[s]
             rng_task = jax.random.fold_in(rng, i)
-            rng_mask, rng_t, rng_loss = jax.random.split(rng_task, 3)
-            mask = random_task_mask(rng_mask, sub, sub_lat.shape[1], task)
-            masked_input, mask = apply_mask(sub_lat, mask)
+            rng_mask, rng_t, _ = jax.random.split(rng_task, 3)
+            mask = random_task_mask(
+                rng_mask, sub, sub_lat.shape[1], task, n_tracks=self.n_tracks
+            )
+            # per-track-channel mask times track-sized channel groups;
+            # n_tracks=1 reduces to the reference's latents*mask broadcast
+            masked_input, mask = composer_conditioning(
+                sub_lat, mask, self.track_dim
+            )
             cond = {
                 "prompt": (text_emb[s], text_mask[s]),
                 "masked_input": masked_input.astype(self.compute_dtype),
@@ -171,20 +191,55 @@ class UnifiedMultiTaskTrainer:
                 global_cond_ids=self.global_cond_ids,
                 input_concat_ids=self.input_concat_ids,
             )
-            x0 = sub_lat.astype(self.compute_dtype)
-            if self.config.diffusion_type == "gdm":
-                t = jax.random.randint(
-                    rng_t, (sub,), 0, self.diffusion.num_timesteps
+            pieces.append({
+                "task": task,
+                "causal": causal,
+                "x0": sub_lat.astype(self.compute_dtype),
+                "conditioning": conditioning,
+                "t": (
+                    jax.random.randint(
+                        rng_t, (sub,), 0, self.diffusion.num_timesteps
+                    )
+                    if is_gdm
+                    else None
+                ),
+            })
+
+        groups: Dict[bool, list] = {}
+        for p in pieces:
+            groups.setdefault(p["causal"], []).append(p)
+
+        total = 0.0
+        per_task = {}
+        for causal in sorted(groups):
+            grp = groups[causal]
+            x0 = jnp.concatenate([g["x0"] for g in grp], axis=0)
+            conditioning = {
+                key: (
+                    None
+                    if grp[0]["conditioning"][key] is None
+                    else jnp.concatenate(
+                        [g["conditioning"][key] for g in grp], axis=0
+                    )
                 )
-                loss = self.diffusion.training_losses(
-                    model_fn, x0, t, conditioning, rng_loss, causal=causal
+                for key in grp[0]["conditioning"]
+            }
+            rng_grp = jax.random.fold_in(rng, 1000 + int(causal))
+            if is_gdm:
+                t = jnp.concatenate([g["t"] for g in grp], axis=0)
+                per_ex = self.diffusion.training_losses(
+                    model_fn, x0, t, conditioning, rng_grp, causal=causal,
+                    reduce="none",
                 )
             else:
-                loss = self.diffusion.training_losses(
-                    model_fn, x0, conditioning, rng_loss, causal=causal
+                per_ex = self.diffusion.training_losses(
+                    model_fn, x0, conditioning, rng_grp, causal=causal,
+                    reduce="none",
                 )
-            per_task[task] = loss
-            total = total + loss
+            for j, g in enumerate(grp):
+                loss = jnp.mean(per_ex[j * sub : (j + 1) * sub])
+                per_task[g["task"]] = loss
+                total = total + loss
         return total, per_task
 
     def _build_train_step(self, causal_flags: Tuple[bool, ...]):

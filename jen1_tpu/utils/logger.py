@@ -65,6 +65,24 @@ class MetricLogger:
         if self._tb is not None:
             self._tb.add_audio(tag, audio, int(step), sample_rate=sample_rate)
 
+    def log_histograms(self, step: int, tensors: Dict[str, Any]) -> None:
+        """Parameter/gradient histograms (reference summarize's `histograms`
+        dict, utils/logger.py:31-32). Accepts jax/numpy arrays."""
+        if self._tb is not None:
+            import numpy as np
+
+            for tag, t in tensors.items():
+                self._tb.add_histogram(tag, np.asarray(t), int(step))
+
+    def log_images(self, step: int, images: Dict[str, Any]) -> None:
+        """(C, H, W) image summaries (reference summarize's `images` dict,
+        utils/logger.py:33-34) — e.g. latent spectrograms."""
+        if self._tb is not None:
+            import numpy as np
+
+            for tag, img in images.items():
+                self._tb.add_image(tag, np.asarray(img), int(step))
+
     def close(self) -> None:
         if self._jsonl is not None:
             self._jsonl.close()

@@ -162,6 +162,25 @@ class TestEncodecModel:
         )
         assert snr > 10.0, f"chunked decode SNR too low: {snr:.1f} dB"
 
+    def test_chunked_decode_bf16_close_to_fp32(self, tiny_codec):
+        """The bf16-weights fast decode path (decode_mode='chunked_bf16')
+        tracks the fp32 chunked decode far above EnCodec's own quantization
+        noise (measured ~40 dB on the converted mock at tiny dims)."""
+        import jax.numpy as jnp
+
+        m = tiny_codec
+        z = jax.random.normal(jax.random.PRNGKey(5), (1, 100, 8))
+        a32 = np.asarray(m.decode_latent_chunked(z, chunk_frames=40,
+                                                 hop_frames=36))
+        a16 = np.asarray(m.decode_latent_chunked(z, chunk_frames=40,
+                                                 hop_frames=36,
+                                                 dtype=jnp.bfloat16))
+        assert a16.dtype == np.float32  # output stays fp32
+        snr = 10 * np.log10(
+            (a32**2).mean() / max(((a32 - a16) ** 2).mean(), 1e-20)
+        )
+        assert snr > 25.0, f"bf16 decode SNR too low: {snr:.1f} dB"
+
     def test_chunked_decode_short_input_falls_back(self, tiny_codec):
         m = tiny_codec
         z = jax.random.normal(jax.random.PRNGKey(4), (1, 30, 8))

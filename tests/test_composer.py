@@ -114,3 +114,92 @@ class TestGenerateTracks:
         f = jax.jit(gen)
         out_a, out_b = f(ctx_a), f(ctx_b)
         assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+class TestComposerEndToEnd:
+    """VERDICT r1 #6: composer as a CAPABILITY — train the track_gen task
+    through the real trainer, checkpoint, and generate stems through the
+    real Jen1.generate_tracks API."""
+
+    @pytest.fixture(scope="class")
+    def trained_ckpt(self, tmp_path_factory):
+        from jen1_tpu.ckpt.checkpoint import CheckpointManager
+        from jen1_tpu.config import tiny_composer_test_config
+        from jen1_tpu.train.train import build_trainer
+
+        cfg = tiny_composer_test_config(n_tracks=2)
+        cfg.conditioner_config.t5_config.t5_model_name = "tiny-test"
+        cfg.conditioner_config.t5_config.max_length = 6
+        cfg.conditioner_config.cond_dim = 16
+        trainer = build_trainer(cfg)
+        assert trainer.tasks[-1] == "track_gen"
+
+        B, L, C = 4, 32, cfg.model_config.in_channels
+        rng = np.random.default_rng(0)
+        latents = rng.normal(size=(B, L, C)).astype(np.float32)
+        meta = [{"prompt": f"stem mix {i}"} for i in range(B)]
+        batch = trainer.prepare_batch(latents, meta)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+        host = np.random.default_rng(0)
+        losses = []
+        for step in range(3):
+            state, m = trainer.train_step(
+                state, batch, jax.random.PRNGKey(step), host
+            )
+            losses.append(float(m["loss/train"]))
+            assert np.isfinite(losses[-1])
+            assert "loss_track_gen/train" in m
+            assert np.isfinite(float(m["loss_track_gen/train"]))
+
+        save_dir = tmp_path_factory.mktemp("composer_ckpt")
+        CheckpointManager(str(save_dir)).save(3, state, loss=losses[-1])
+        return cfg, str(save_dir)
+
+    def test_generate_tracks_from_trained_ckpt(self, trained_ckpt):
+        from jen1_tpu.api.generation import Jen1
+        from jen1_tpu.codec.model import EncodecConfig, EncodecModel
+
+        cfg, ckpt_dir = trained_ckpt
+        track_dim = cfg.model_config.in_channels // cfg.model_config.n_tracks
+        ccfg = EncodecConfig(
+            sample_rate=1600, channels=2, dimension=track_dim,
+            n_filters=2, ratios=(5, 4, 2), n_q=4, bins=16,
+        )
+        jen1 = Jen1(ckpt_path=ckpt_dir, sample_rate=1600, config=cfg,
+                    codec=EncodecModel(ccfg))
+        audio = jen1.generate_tracks(
+            "warm stems", seconds=2.0, steps=3, seed=7, use_gdm=True,
+        )
+        n_tracks = cfg.model_config.n_tracks
+        assert audio.shape == (1, n_tracks, 2, 3200)
+        assert np.isfinite(audio).all()
+        # stems differ (tracks are distinct channel groups, not copies)
+        assert not np.allclose(audio[0, 0], audio[0, 1])
+
+        # track-conditional: give track 0 as context, regenerate track 1
+        ctx = np.asarray(audio[0, 0]).T  # (T, ch)
+        cond_audio = jen1.generate_tracks(
+            "warm stems", seconds=2.0, steps=3, seed=8, use_gdm=True,
+            context_tracks={0: ctx},
+        )
+        assert cond_audio.shape == (1, n_tracks, 2, 3200)
+        assert np.isfinite(cond_audio).all()
+
+    def test_generate_tracks_requires_composer_config(self):
+        from jen1_tpu.api.generation import Jen1
+        from jen1_tpu.codec.model import EncodecConfig, EncodecModel
+        from jen1_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config()
+        cfg.conditioner_config.t5_config.t5_model_name = "tiny-test"
+        cfg.conditioner_config.t5_config.max_length = 6
+        cfg.conditioner_config.cond_dim = 16
+        ccfg = EncodecConfig(
+            sample_rate=1600, channels=2, dimension=8,
+            n_filters=2, ratios=(5, 4, 2), n_q=4, bins=16,
+        )
+        jen1 = Jen1(ckpt_path=None, sample_rate=1600, config=cfg,
+                    codec=EncodecModel(ccfg))
+        with pytest.raises(ValueError, match="composer"):
+            jen1.generate_tracks("x", seconds=1.0, steps=2)

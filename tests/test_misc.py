@@ -83,3 +83,26 @@ class TestProfiling:
         stats = timer.stats()
         assert stats["steps"] == 3
         assert stats["mean_s"] >= 0.01
+
+
+class TestMetricLogger:
+    def test_scalars_histograms_images_audio(self, tmp_path):
+        """Full summarize-parity surface (reference utils/logger.py:24-36):
+        scalars + histograms + images + audio land in JSONL/TensorBoard."""
+        import json
+        import os
+
+        from jen1_tpu.utils.logger import MetricLogger
+
+        ml = MetricLogger(str(tmp_path))
+        ml.log(1, {"loss/train": 0.5, "lr": 3e-5})
+        ml.log_histograms(1, {"params/w": np.random.default_rng(0).normal(size=64)})
+        ml.log_images(1, {"latent/spec": np.zeros((3, 8, 8), np.float32)})
+        ml.log_audio(1, "sample", np.zeros((1, 160), np.float32), 1600)
+        ml.close()
+
+        with open(tmp_path / "metrics.jsonl") as f:
+            rec = json.loads(f.readline())
+        assert rec["step"] == 1 and rec["loss/train"] == 0.5
+        if ml._tb is not None:  # tensorboard installed: event file written
+            assert any(n.startswith("events.") for n in os.listdir(tmp_path))

@@ -68,18 +68,33 @@ class TestTaskMasks:
 
 class TestTrainStep:
     def test_loss_decreases_on_repeated_batch(self):
+        """Fixed step rng -> fixed noise/masks; loss must decrease WITHIN
+        each causal-flag variant (the two variants run different noise
+        streams since same-flag tasks share one grouped forward, so their
+        absolute levels differ — comparing across variants is meaningless)."""
         cfg, trainer = make_trainer()
         batch = make_batch(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
-        host_rng = np.random.default_rng(0)
-        losses = []
-        for i in range(8):
+
+        class SeqRng:  # deterministic causal-coin sequence
+            def __init__(self, seq):
+                self.seq = list(seq)
+
+            def integers(self, a, b):
+                return self.seq.pop(0)
+
+        coins = [0, 1] * 4
+        host = SeqRng(coins)
+        by_variant = {}
+        for coin in coins:
             state, metrics = trainer.train_step(
-                state, batch, jax.random.PRNGKey(100), host_rng)  # fixed rng -> same noise
-            losses.append(float(metrics["loss/train"]))
+                state, batch, jax.random.PRNGKey(100), host)  # fixed rng -> same noise
+            loss = float(metrics["loss/train"])
+            assert np.isfinite(loss)
+            by_variant.setdefault(coin, []).append(loss)
         assert int(state.step) == 8
-        assert np.isfinite(losses).all()
-        assert losses[-1] < losses[0], losses
+        for coin, losses in by_variant.items():
+            assert losses[-1] < losses[0], (coin, losses)
 
     def test_per_task_metrics_present(self):
         cfg, trainer = make_trainer()
