@@ -132,7 +132,16 @@ def child_main() -> None:
     )
     steps = int(os.environ.get("JEN1_BENCH_STEPS", "100"))
 
-    rng = jax.random.PRNGKey(0)
+    # Sampler noise keys: 'rbg' (default) lowers to the TPU hardware RNG
+    # (XLA RngBitGenerator). Measured slope (benchmarks/b1_math_slope.py):
+    # the per-step DDIM math drops 173 -> 58 us/step vs threefry — the
+    # counter-based threefry keygen was ~12% of the whole 100-step sampler.
+    # Same iid N(0,1) stream statistically; seeds are not cross-impl
+    # reproducible (parity tests inject noise explicitly and are unaffected).
+    rng_impl = os.environ.get("JEN1_BENCH_RNG", "rbg")
+    key = lambda s: jax.random.key(s, impl=rng_impl)  # noqa: E731
+
+    rng = key(0)
     x = jnp.zeros((B, L, C), jnp.bfloat16)
     t = jnp.zeros((B,), jnp.float32)
     emb = jax.random.normal(jax.random.PRNGKey(1), (B, M, E), jnp.bfloat16)
@@ -195,6 +204,10 @@ def child_main() -> None:
     from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
 
     codec = EncodecModel(encodec_48khz_config())
+    # "chunked_bf16" (bf16 decoder weights, ~40 dB below the fp32 decode)
+    # would shave ~4 ms/clip but its fused program takes >1475 s to compile
+    # on this host (vs 755 s for fp32-weights chunked) — past the driver's
+    # 1080 s deadline, so the default stays "chunked".
     decode_mode = os.environ.get("JEN1_BENCH_DECODE", "chunked")
     if decode_mode.startswith("chunked"):
         # EnCodec-48k's own 1 s-segment semantics, batched: the whole-clip
@@ -232,70 +245,128 @@ def child_main() -> None:
                 encoder_reuse=enc_reuse,
             )
 
-        sample_latents = jax.jit(raw_sample, compiler_options=OPTS)
-        # Headline pipeline: sampler + codec decode FUSED into ONE XLA
-        # program — no latent round-trip to host scheduling between the two,
-        # one dispatch through the tunnel (r2: part of closing the B=1
-        # end-to-end vs in-loop roofline gap).
+        def _with_sum(f):
+            # Return (out, sum(out)) from ONE program: the scalar is the
+            # completion fence (see timing note below). Folding it into the
+            # program saves a full tunnel round-trip vs dispatching a
+            # separate checksum executable — measured 34 ms of the 158 ms
+            # round-1 wall was exactly that second dispatch+fetch
+            # (benchmarks/b1_math_slope.py trivial-program probe).
+            def g(*a):
+                out = f(*a)
+                return out, jnp.sum(out.astype(jnp.float32))
+            return g
+
+        sample_latents = jax.jit(_with_sum(raw_sample), compiler_options=OPTS)
+        # Headline pipeline: sampler + codec decode + completion checksum
+        # FUSED into ONE XLA program — no latent round-trip to host
+        # scheduling between the stages, one dispatch through the tunnel
+        # (r2: closing the B=1 end-to-end vs in-loop roofline gap).
         sample = jax.jit(
-            lambda rng: decode(raw_sample(rng)), compiler_options=OPTS
+            _with_sum(lambda rng: decode(raw_sample(rng))),
+            compiler_options=OPTS,
         )
     else:
+        _sum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+
         def sample_latents(rng):
-            return gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
-                              mode=mode, compiler_options=OPTS)
+            out = gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
+                             mode=mode, compiler_options=OPTS)
+            return out, _sum(out)
 
         def sample(rng):
-            return decode(sample_latents(rng))
+            out = decode(sample_latents(rng)[0])
+            return out, _sum(out)
 
     # Timing is via a host fetch of a scalar that depends on every output
     # element — NOT block_until_ready: on this tunneled runtime
     # block_until_ready returns in ~0.1 ms for some executables (measured:
     # whole-clip codec decode "completes" 1000x faster than its FLOP floor)
-    # while float(jnp.sum(out)) reports walls consistent with the roofline.
-    checksum = jax.jit(jnp.sum)
-
+    # while fetching the output-dependent sum reports walls consistent with
+    # the roofline. The sum is computed INSIDE the sampled program (see
+    # _with_sum) so the fence costs zero extra dispatches.
     t0 = time.time()
-    out = sample(jax.random.PRNGKey(2))
-    float(checksum(out))
+    _, chk = sample(key(2))
+    float(chk)
     note(f"sampler compile+first run={time.time() - t0:.1f}s")
 
-    # First timed run -> persist the headline number IMMEDIATELY.
-    times = []
+    # Throughput: K back-to-back clips per trial. Dispatch is async and the
+    # device serializes compute, so the K executions queue with ONE
+    # blocking-fetch round-trip at the end — steady-state throughput, which
+    # is what audio-s/s means. The ~34 ms fixed fetch latency of this
+    # tunnel (benchmarks/b1_math_slope.py) is amortized 1/K instead of
+    # dominating 20% of every wall; single-clip latency is reported
+    # separately below.
+    K = int(os.environ.get("JEN1_BENCH_PIPELINE", "6"))
+    times = []  # per-clip amortized walls
     for i in range(3):
         t0 = time.time()
-        out = sample(jax.random.PRNGKey(3 + i))
-        float(checksum(out))
-        times.append(time.time() - t0)
+        chks = [sample(key(10 * i + j + 3))[1] for j in range(K)]
+        for c in chks:
+            float(c)
+        times.append((time.time() - t0) / K)
         write_result(seconds * B / min(times))
         note(
-            f"run {i}: {times[-1]:.2f}s "
+            f"trial {i}: {times[-1]:.3f}s/clip (K={K}) "
             f"-> {seconds * B / min(times):.2f} audio_s/s"
         )
 
     best = min(times)
+    t0 = time.time()
+    float(sample(key(99))[1])
+    note(f"single-clip latency (incl. fetch round-trip)={time.time() - t0:.3f}s")
 
     if os.environ.get("JEN1_BENCH_BREAKDOWN") == "1":
         # component walls (each its own program + compile — manual runs only)
-        lat = sample_latents(jax.random.PRNGKey(9))
-        float(checksum(lat))  # warm sampler-only program
+        lat, chk = sample_latents(key(9))
+        float(chk)  # warm sampler-only program
         t0 = time.time()
-        lat = sample_latents(jax.random.PRNGKey(10))
-        float(checksum(lat))
+        lat, chk = sample_latents(key(10))
+        float(chk)
         t_sample = time.time() - t0
-        float(checksum(decode(lat)))  # warm decode
+        dsum = jax.jit(lambda z: jnp.sum(decode(z).astype(jnp.float32)))
+        float(dsum(lat))  # warm decode(+sum) program
         lat2 = lat + 1e-3  # vary args: the tunnel can replay identical
         # (executable, args) pairs from cache (see timing note above)
         t0 = time.time()
-        float(checksum(decode(lat2)))
+        float(dsum(lat2))
         t_decode = time.time() - t0
         note(
             f"breakdown: sampler={t_sample:.3f}s decode={t_decode:.3f}s "
-            f"fused_total={best:.3f}s glue={best - t_sample - t_decode:.3f}s"
+            f"fused_total={best:.3f}s overlap_gain="
+            f"{t_sample + t_decode - best:.3f}s (component walls each "
+            f"include ~34ms fixed tunnel dispatch+fetch latency)"
         )
+        try:
+            cost = sample.lower(key(0)).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            note(
+                f"fused program cost_analysis: flops={cost.get('flops', 0):.3e}"
+                f" bytes={cost.get('bytes accessed', 0):.3e}"
+            )
+        except Exception as e:  # noqa: BLE001
+            note(f"cost_analysis unavailable: {type(e).__name__}: {e}")
+
+    # HBM roofline (no extra compile): this model is MEMORY-bound (33
+    # GFLOP/forward vs 600 MB of bf16 weights read per forward), so the
+    # meaningful utilization is the fraction of peak HBM bandwidth implied
+    # by one weight read per denoiser forward.
+    is_v5e = "v5" in jax.devices()[0].device_kind.lower()
+    hbm_bw = 8.19e11 if is_v5e else 1.2e12  # v5e: 819 GB/s
+    note(
+        f"hbm_util>={n_params * 2.0 * steps / best / hbm_bw:.2f} "
+        f"(weights-read bound)"
+    )
 
     # MFU estimate: FLOPs of one denoiser forward (CFG-doubled) from XLA's
     # cost analysis x steps / best wall / chip peak (v5e: 197 TFLOP/s bf16).
+    # Costs a separate ~100-250 s forward compile -> opt-in for manual runs
+    # (the driver's 1080 s deadline budget goes to the fused program).
+    if os.environ.get("JEN1_BENCH_MFU") != "1":
+        note(f"best_wall={best:.3f}s runs={['%.3f' % v for v in times]} "
+             f"mode={mode}")
+        return
     try:
         lowered = jax.jit(
             lambda a: model_fn(

@@ -245,9 +245,17 @@ class Jen1:
         decode_mode: str = "chunked",
         encoder_reuse: int = 1,
         compiler_options: Optional[Dict[str, Any]] = None,
+        rng_impl: str = "threefry2x32",
     ):
         """Returns waveform (B, channels, samples) float32 (or the latent
         (B, 128, frames) when decode=False).
+
+        rng_impl: "threefry2x32" (default; reproducible across backends) or
+        "rbg" — the TPU hardware RngBitGenerator. The DDIM scan draws a
+        latent-sized normal every step; with threefry that keygen costs 173
+        us/step on v5e vs 58 us/step with rbg (benchmarks/b1_math_slope.py,
+        ~8% of the 100-step B=1 wall). Same iid N(0,1) statistics; seed
+        streams are NOT reproducible across impls.
 
         decode_mode: "chunked" (default) decodes 1 s latent chunks as one
         batched decoder call + overlap-add — EnCodec-48k's own segmented
@@ -274,7 +282,7 @@ class Jen1:
                 else {}
             )
         seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
-        rng = jax.random.PRNGKey(seed)
+        rng = jax.random.key(seed, impl=rng_impl)
         channels = self.codec.config.channels
         hop = self.codec.config.hop_length
         sample_length = int(seconds * self.sample_rate)
@@ -578,6 +586,7 @@ class Jen1:
         context_tracks_sr: Optional[int] = None,
         decode: bool = True,
         compiler_options: Optional[Dict[str, Any]] = None,
+        rng_impl: str = "threefry2x32",
     ):
         """Multi-track generation (JEN-1 Composer capability; the reference
         is single-track only — BASELINE configs[4]).
@@ -620,7 +629,7 @@ class Jen1:
                 else {}
             )
         seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
-        rng = jax.random.PRNGKey(seed)
+        rng = jax.random.key(seed, impl=rng_impl)  # see generate()'s rng_impl
         channels = self.codec.config.channels
         sample_length = int(seconds * self.sample_rate)
 

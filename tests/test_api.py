@@ -66,6 +66,15 @@ class TestGenerate:
         assert out.shape == (1, 2, 1600)
         assert np.isfinite(out).all()
 
+    def test_rbg_rng_impl(self, jen1):
+        """rng_impl='rbg' (TPU hardware RNG fast path, 173 -> 58 us/step of
+        sampler math on v5e) flows through the whole generate pipeline."""
+        out = jen1.generate("a beautiful song", seed=2, steps=4, batch_size=1,
+                            seconds=1, use_gdm=True, rng_impl="rbg")
+        assert out.shape == (1, 2, 1600)
+        assert np.isfinite(out).all()
+        assert float(np.abs(out).max()) > 0
+
     def test_encoder_reuse_rejected_for_vdm(self, jen1):
         import pytest as _pytest
 
