@@ -133,6 +133,21 @@ class OmniConv1d(nn.Module):
             if self.use_bias
             else None
         )
+        # int8 weight-only inference fast path: when the caller supplies a
+        # 'qweights' collection (parallel/quantize.py quantize_conv_params),
+        # stride-1 convs read int8 weights + per-channel scales and run the
+        # dequant-in-VMEM Pallas matmul — halving the HBM weight traffic
+        # that bounds the denoiser loop (benchmarks/INT8_WEIGHTS_TPU.md:
+        # the XLA int8 path measures 1.00x because XLA materializes the
+        # dequantized tensor). Training and default inference are unchanged.
+        if self.stride == 1 and self.has_variable("qweights", "kernel8"):
+            from jen1_tpu.ops.int8_matmul import conv1d_int8w
+
+            w8 = self.get_variable("qweights", "kernel8")
+            scale = self.get_variable("qweights", "scale")
+            return conv1d_int8w(
+                x, w8, scale, bias, dilation=self.dilation, causal=causal
+            )
         return conv1d(
             x,
             kernel,
