@@ -152,6 +152,13 @@ class OptimizerConfig:
     # Non-finite gradients skip the update instead of poisoning params/
     # moments (optax.apply_if_finite; bf16-training failure containment).
     skip_nonfinite_updates: bool = True
+    # Run the whole optimizer over one flattened vector (optax.flatten).
+    # MEASURED SLOWER on v5e (benchmarks/TRAIN_STEP_TPU.md flatten A/B:
+    # +23 ms at B=3, neutral at B=96 — the flat<->tree copies cost more
+    # than the per-leaf launches they remove), so off by default; kept as
+    # a knob for param-regimes with many tiny leaves. Optimizer-state
+    # layout (and thus checkpoints) differ across the flag.
+    flatten_optimizer: bool = False
 
 
 @dataclass

@@ -25,8 +25,11 @@ def make_lr_schedule(opt_config) -> optax.Schedule:
 
 
 def make_optimizer(
-    opt_config, grad_accum_every: int = 1
+    opt_config, grad_accum_every: int = 1, flatten_ok: bool = True
 ) -> optax.GradientTransformation:
+    """flatten_ok: the caller must pass False when the optimizer state has
+    to carry per-parameter shardings (tp / fsdp meshes) — a flattened moment
+    vector cannot (trainer.__init__ handles this)."""
     tx = optax.chain(
         optax.clip_by_global_norm(opt_config.grad_clip),
         optax.adamw(
@@ -46,4 +49,15 @@ def make_optimizer(
         # Micro-batch gradient accumulation: updates become no-ops except on
         # every k-th step, where the averaged gradient is applied.
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_every)
+    if flatten_ok and getattr(opt_config, "flatten_optimizer", False):
+        # Run ALL elementwise optimizer work (clip, Adam moments, weight
+        # decay, finite-check, accumulation) over ONE concatenated vector
+        # instead of per-leaf kernels. Identical math up to fp reassociation
+        # of the global norm; optimizer-state pytree layout changes, so
+        # checkpoints are not interchangeable across this flag. Off by
+        # default: the v5e A/B (benchmarks/TRAIN_STEP_TPU.md) measured it
+        # SLOWER at B=3 (+23 ms — the flat<->tree grad/update copies cost
+        # more than the 285 per-leaf launches they remove) and neutral at
+        # B=96.
+        tx = optax.flatten(tx)
     return tx

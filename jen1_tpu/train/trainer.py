@@ -65,8 +65,19 @@ class UnifiedMultiTaskTrainer:
         self.cross_attn_cond_ids = tuple(cross_attn_cond_ids)
         self.global_cond_ids = tuple(global_cond_ids)
         self.input_concat_ids = tuple(input_concat_ids)
+        # The flattened (single-vector) optimizer cannot carry per-param
+        # shardings: disable it whenever params are mesh-sharded (tp/fsdp).
+        # dp/sp-only meshes keep it — params and moments are replicated
+        # there. Read the MESH (callers may pass a mesh without touching
+        # config.parallel_config), plus the config fsdp flag.
+        sharded_params = mesh is not None and (
+            dict(getattr(mesh, "shape", {})).get("tp", 1) > 1
+            or getattr(config.parallel_config, "fsdp", False)
+        )
         self.optimizer = make_optimizer(
-            config.optimizer_config, config.grad_accum_every
+            config.optimizer_config,
+            config.grad_accum_every,
+            flatten_ok=not sharded_params,
         )
         self.use_ema = config.use_ema
         self.ema_decay = config.ema_decay
