@@ -243,6 +243,7 @@ class Jen1:
         decode: bool = True,
         sampler_mode: str = "scan",
         decode_mode: str = "chunked",
+        encode_mode: str = "chunked",
         encoder_reuse: int = 1,
         compiler_options: Optional[Dict[str, Any]] = None,
         rng_impl: str = "threefry2x32",
@@ -263,6 +264,12 @@ class Jen1:
         length-F sequential chain). "whole" decodes the full clip in one
         LSTM pass, byte-matching the reference's `audio_encoder.decoder(...)`
         call (generation.py:130).
+
+        encode_mode: "chunked" (default) encodes `init_audio` (inpainting /
+        continuation; zeros for text_guided) as batched 1 s chunks +
+        latent-space overlap-add — the encode-direction mirror of
+        decode_mode, avoiding the whole-clip encoder-LSTM scan. "whole"
+        byte-matches the reference's single get_emb call.
 
         encoder_reuse: N > 1 runs the UNet encoder only every N-th DDIM step
         and reuses its cached features in between (training-free
@@ -337,10 +344,17 @@ class Jen1:
         else:
             raise ValueError(f"unknown task: {task}")
 
-        # encode init audio to the latent space (reference get_emb)
+        # encode init audio to the latent space (reference get_emb). The
+        # chunked path batches EnCodec's own 1 s segments into ONE encoder
+        # call (the encoder LSTM is a T/hop-step sequential scan whole-clip
+        # — benchmarks/DECODE_TPU.md, encode direction); it is the TPU fast
+        # path for inpainting/continuation and skipped only for the
+        # reference-exact segmented-latent distribution.
         if self.config.codec_segmented_latents:
             init_emb = self.codec.encode_latent_segmented(jnp.asarray(init_audio))
-        else:
+        elif encode_mode == "chunked":
+            init_emb = self.codec.encode_latent_chunked(jnp.asarray(init_audio))
+        else:  # "whole": byte-matches the reference's whole-clip get_emb
             init_emb = self.codec.encode_latent(jnp.asarray(init_audio))
         latent_len = init_emb.shape[1]
         latent_dim = init_emb.shape[2]
@@ -650,7 +664,7 @@ class Jen1:
                     wav, ((0, 0), (0, sample_length - wav.shape[1]), (0, 0))
                 )
             wav = wav[:, :sample_length]
-            return self.codec.encode_latent(jnp.asarray(wav))
+            return self.codec.encode_latent_chunked(jnp.asarray(wav))
 
         # latent geometry from a zero clip (same encode path as generate)
         zero_emb = encode_wave(np.zeros((sample_length, channels), np.float32))

@@ -254,6 +254,47 @@ class EncodecModel:
         audio = fn(params, latent)
         return audio[:, : f * hop]
 
+    def encode_latent_chunked(
+        self,
+        audio: jnp.ndarray,
+        chunk_frames: int = 150,
+        hop_frames: int = 148,
+        quantize: bool = True,
+    ) -> jnp.ndarray:
+        """audio (B, T, ch) -> continuous latent (B, T/hop, D), encoding
+        overlapping 1 s audio chunks as ONE batched encoder call +
+        triangular overlap-add in LATENT space.
+
+        The TPU-fast mirror of `decode_latent_chunked` for the ENCODE
+        direction (inpainting/continuation `init_audio`, `jen1-preprocess`):
+        whole-clip encode is serialized by the encoder LSTM (a T/hop-step
+        `lax.scan` chain — 4500 steps for 30 s), while 150-frame chunks cut
+        the chain 30x and turn the chunks into LSTM/conv batch. RVQ is
+        frame-local, so quantization is unaffected by chunking; only the
+        encoder's conv/LSTM context is, and the 2-frame (640-sample)
+        crossfade matches EnCodec's own 1%-overlap segment design
+        (encodec/model.py _encode_frame)."""
+        b, t, ch = audio.shape
+        hop = self.config.hop_length
+        f = t // hop
+        if f <= chunk_frames:
+            return self.encode_latent(audio, quantize=quantize)
+        n = max(1, math.ceil((f - chunk_frames) / hop_frames) + 1)
+        pad = ((n - 1) * hop_frames + chunk_frames) * hop - t
+        key = ("enc", chunk_frames, hop_frames, n, b, quantize)
+        fn = self._chunked_jit.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda p, a: _encode_chunked(
+                    self.encoder, self.config, p, a,
+                    chunk_frames, hop_frames, n, hop, quantize,
+                )
+            )
+            self._chunked_jit[key] = fn
+        audio = jnp.pad(audio, ((0, 0), (0, pad), (0, 0)))
+        latent = fn(self.params, audio)
+        return latent[:, :f]
+
     def codes_to_latent(self, codes: jnp.ndarray) -> jnp.ndarray:
         return self.quantizer.decode(codes)
 
@@ -302,6 +343,47 @@ def _decode_chunked(decoder, params, latent, chunk_frames, hop_frames, n, hop):
         out = out.at[:, i * stride : i * stride + seg_len].add(audio[:, i] * w)
         norm = norm.at[:, i * stride : i * stride + seg_len].add(w)
     return out / jnp.maximum(norm, 1e-12)
+
+
+def _encode_chunked(
+    encoder, config, params, audio, chunk_frames, hop_frames, n, hop, quantize
+):
+    """Batched chunk encode + triangular overlap-add in latent space, all
+    inside one jit (the encode-direction mirror of `_decode_chunked`).
+
+    audio is padded to ((n-1)*hop_frames + chunk_frames) * hop samples.
+    """
+    b, _, ch = audio.shape
+    chunk_s = chunk_frames * hop
+    stride_s = hop_frames * hop
+    starts = jnp.arange(n) * stride_s
+    idx = starts[:, None] + jnp.arange(chunk_s)[None, :]  # (n, Ts)
+    chunks = audio[:, idx]  # (B, n, Ts, ch)
+    chunks = chunks.reshape(b * n, chunk_s, ch)
+    z = encoder.apply(params["encoder"], chunks)  # (B*n, Fc, D)
+    d = z.shape[-1]
+    z = z[:, :chunk_frames].reshape(b, n, chunk_frames, d).astype(jnp.float32)
+
+    # triangular weights over the latent frames (EnCodec _linear_overlap_add)
+    t = jnp.linspace(0.0, 1.0, chunk_frames + 2)[1:-1]
+    w = (0.5 - jnp.abs(t - 0.5))[None, :, None]
+    total = hop_frames * (n - 1) + chunk_frames
+    out = jnp.zeros((b, total, d), jnp.float32)
+    norm = jnp.zeros((1, total, 1), jnp.float32)
+    for i in range(n):  # static unroll: n is a trace-time constant
+        out = out.at[:, i * hop_frames : i * hop_frames + chunk_frames].add(
+            z[:, i] * w
+        )
+        norm = norm.at[:, i * hop_frames : i * hop_frames + chunk_frames].add(w)
+    out = out / jnp.maximum(norm, 1e-12)
+    if quantize:
+        # RVQ is frame-local: quantizing the STITCHED continuous latent
+        # matches whole-clip quantization exactly; only the encoder's
+        # conv/LSTM context differs across the crossfade.
+        out = ResidualVectorQuantizer(
+            params["codebooks"], frame_rate=config.frame_rate
+        ).quantize_latent(out)
+    return out
 
 
 def _linear_overlap_add(pieces: List[jnp.ndarray], stride: int) -> jnp.ndarray:

@@ -52,12 +52,15 @@ def encode(
     codec=None,
     segmented: bool = False,
     codec_weights: Optional[str] = None,
+    chunked: bool = True,
 ) -> None:
     """Encode fixed-length windows of every file to latent .npy, in device
     batches through the JAX codec. segmented=True uses the reference's exact
     latent pipeline (per-1s volume-normalized segments, codes concatenated —
     dataloader.py:108-115) for training runs that must match
-    reference-trained checkpoints."""
+    reference-trained checkpoints. chunked=True (default) batches 1 s
+    encoder chunks + latent overlap-add instead of the whole-clip
+    encoder-LSTM scan (codec/model.py encode_latent_chunked)."""
     import jax.numpy as jnp
 
     from jen1_tpu.codec.model import make_codec
@@ -84,6 +87,8 @@ def encode(
         batch = jnp.asarray(np.stack(pending))
         if segmented:
             latents = np.asarray(codec.encode_latent_segmented(batch))
+        elif chunked:
+            latents = np.asarray(codec.encode_latent_chunked(batch))
         else:
             latents = np.asarray(codec.encode_latent(batch))
         for name, latent in zip(names, latents):
@@ -132,6 +137,9 @@ def main():
     p.add_argument("--codec-weights", default=None,
                    help="pretrained EnCodec-48k torch state_dict; without it "
                         "the codec is random-init and latents are noise")
+    p.add_argument("--whole-clip", action="store_true",
+                   help="whole-clip encoder pass (single get_emb graph) "
+                        "instead of the batched-1s-chunk TPU fast path")
     args = p.parse_args()
     if args.command == "scan":
         scan(args.dataset_dir, args.out)
@@ -143,6 +151,7 @@ def main():
             batch_size=args.batch_size,
             segmented=args.segmented,
             codec_weights=args.codec_weights,
+            chunked=not args.whole_clip,
         )
 
 

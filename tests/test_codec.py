@@ -188,6 +188,50 @@ class TestEncodecModel:
         chunk = np.asarray(m.decode_latent_chunked(z, chunk_frames=40))
         np.testing.assert_allclose(chunk, whole[:, : chunk.shape[1]], rtol=1e-5, atol=1e-6)
 
+    def test_chunked_encode_matches_whole(self, tiny_codec):
+        """encode_latent_chunked == whole-clip encode up to encoder LSTM/conv
+        cold-start at chunk seams (the encode-direction mirror of chunked
+        decode: batched 1 s chunks, triangular latent overlap-add, RVQ on the
+        stitched continuous latent). Random-init codec = worst-case seams."""
+        m = tiny_codec
+        T = 100 * m.config.hop_length  # 2.5 s at hop 40
+        audio = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(6), (2, T, 2)), np.float32
+        )
+        whole_c = np.asarray(m.encode_latent(audio, quantize=False))
+        chunk_c = np.asarray(m.encode_latent_chunked(
+            audio, chunk_frames=40, hop_frames=36, quantize=False))
+        assert chunk_c.shape == whole_c.shape == (2, 100, 8)
+        snr = 10 * np.log10(
+            (whole_c**2).mean()
+            / max(((whole_c - chunk_c) ** 2).mean(), 1e-20)
+        )
+        assert snr > 10.0, f"chunked encode SNR too low: {snr:.1f} dB"
+
+        # Post-RVQ, bit-exactness is the wrong metric: a random-init 16-bin
+        # codebook flips on tiny continuous perturbations (~half the frames
+        # here — worst case by construction). The meaningful bound is that
+        # chunking adds LESS error than the codec's own quantization noise.
+        whole_q = np.asarray(m.encode_latent(audio, quantize=True))
+        chunk_q = np.asarray(m.encode_latent_chunked(
+            audio, chunk_frames=40, hop_frames=36, quantize=True))
+        q_noise = ((whole_q - whole_c) ** 2).mean()
+        chunk_err = ((chunk_q - whole_q) ** 2).mean()
+        assert chunk_err < 1.5 * q_noise, (
+            f"chunking added more error ({chunk_err:.4f}) than RVQ's own "
+            f"quantization noise ({q_noise:.4f})"
+        )
+
+    def test_chunked_encode_short_input_falls_back(self, tiny_codec):
+        m = tiny_codec
+        audio = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(7),
+                              (1, 30 * m.config.hop_length, 2)), np.float32
+        )
+        whole = np.asarray(m.encode_latent(audio))
+        chunk = np.asarray(m.encode_latent_chunked(audio, chunk_frames=40))
+        np.testing.assert_allclose(chunk, whole, rtol=1e-5, atol=1e-6)
+
     def test_overlap_add_constant_signal(self):
         pieces = [jnp.ones((1, 100, 2)), jnp.ones((1, 100, 2))]
         out = _linear_overlap_add(pieces, stride=90)
