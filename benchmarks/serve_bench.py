@@ -1,0 +1,112 @@
+"""Real-TPU serving benchmark: GenerationService under concurrent load.
+
+Round-1/2 serve tests are hermetic (fake Jen1); this measures the REAL
+thing end-to-end on v5e: full-size UNet + T5 text encoding + 100-step DDIM
+scan + chunked codec decode behind the static-shape micro-batcher. Random
+weights (timing is value-independent); every request is a distinct prompt
+with the service-assigned seed so requests co-batch (explicit seeds
+deliberately never co-batch — see serve.py).
+
+Reports: warm single-request latency, then N_REQ concurrent requests ->
+wall, requests/s, audio-s/s/chip, p50/p95 request latency, batch fill.
+
+Run: python benchmarks/serve_bench.py   [JEN1_SERVE_BENCH_REQS=16]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from jen1_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+
+    from jen1_tpu.api.generation import Jen1
+    from jen1_tpu.config import Config
+    from jen1_tpu.serve import GenerationService
+
+    n_req = int(os.environ.get("JEN1_SERVE_BENCH_REQS", "16"))
+    steps = int(os.environ.get("JEN1_SERVE_BENCH_STEPS", "100"))
+    seconds = float(os.environ.get("JEN1_SERVE_BENCH_SECONDS", "30"))
+    max_batch = int(os.environ.get("JEN1_SERVE_BENCH_MAXBATCH", "4"))
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} n_req={n_req} steps={steps} "
+          f"seconds={seconds} max_batch={max_batch}", flush=True)
+
+    t0 = time.time()
+    jen1 = Jen1(ckpt_path=None, config=Config())
+    print(f"Jen1 built (random weights) in {time.time() - t0:.0f}s", flush=True)
+
+    svc = GenerationService(
+        jen1, max_batch=max_batch, max_wait_ms=100.0,
+        default_seconds=seconds, default_steps=steps,
+        max_queue=max(32, 2 * n_req),
+    )
+
+    # Warm both the max_batch graph (a full batch) and measure a single
+    # warm request afterwards.
+    t0 = time.time()
+    warm_threads = [
+        threading.Thread(target=lambda i=i: svc.submit(
+            f"warmup prompt {i}", timeout=3600)) for i in range(max_batch)
+    ]
+    for t in warm_threads:
+        t.start()
+    for t in warm_threads:
+        t.join()
+    print(f"warmup (compile + first batch) {time.time() - t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    svc.submit("a single warm request", timeout=600)
+    single = time.time() - t0
+    print(f"warm single-request latency: {single:.3f}s", flush=True)
+
+    lat = [None] * n_req
+    err = []
+
+    def fire(i):
+        t1 = time.time()
+        try:
+            out = svc.submit(f"load prompt {i}", timeout=600)
+            assert out.ndim == 2 and np.isfinite(out).all()
+            lat[i] = time.time() - t1
+        except Exception as e:  # noqa: BLE001
+            err.append(repr(e))
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(n_req)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    assert not err, err
+    lats = sorted(v for v in lat if v is not None)
+    p50 = lats[len(lats) // 2]
+    p95 = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
+    fill = svc.stats["requests"] / max(
+        1, svc.stats["batches"] * max_batch - svc.stats["padded_lanes"] + 1e-9
+    )
+    print(
+        f"{n_req} concurrent requests: wall={wall:.2f}s -> "
+        f"{n_req / wall:.2f} req/s, {n_req * seconds / wall:.1f} "
+        f"audio-s/s/chip; latency p50={p50:.2f}s p95={p95:.2f}s; "
+        f"batches={svc.stats['batches']} padded_lanes="
+        f"{svc.stats['padded_lanes']}", flush=True,
+    )
+    svc.close()
+
+
+if __name__ == "__main__":
+    main()
