@@ -435,12 +435,22 @@ def make_codec(weights_path=None, config: "EncodecConfig | None" = None,
 
 
 def load_torch_encodec_state_dict(path: str):
-    """Load a local facebookresearch/encodec state_dict (.pt/.pth/.bin)."""
+    """Load a local EnCodec state_dict (.pt/.pth/.bin) — either the
+    facebookresearch/encodec layout or the HuggingFace `transformers`
+    EncodecModel layout (facebook/encodec_24khz etc.), auto-detected and
+    remapped (codec/hf_import.py)."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
+    from jen1_tpu.codec.hf_import import (
+        hf_encodec_to_fb_state_dict,
+        is_hf_encodec_state_dict,
+    )
+
+    if isinstance(obj, dict) and is_hf_encodec_state_dict(obj):
+        obj = hf_encodec_to_fb_state_dict(obj)
     return obj
 
 
