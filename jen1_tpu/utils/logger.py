@@ -83,6 +83,15 @@ class MetricLogger:
             for tag, img in images.items():
                 self._tb.add_image(tag, np.asarray(img), int(step))
 
+    def log_vectors(self, vectors: Dict[str, Any]) -> None:
+        """Per-index scalar curves (reference summarize's `vectors` dict,
+        utils/logger.py:28-30: each element logged at step=index) — e.g. a
+        per-timestep loss profile."""
+        if self._tb is not None:
+            for tag, vec in vectors.items():
+                for i, v in enumerate(vec):
+                    self._tb.add_scalar(tag, float(v), i)
+
     def close(self) -> None:
         if self._jsonl is not None:
             self._jsonl.close()

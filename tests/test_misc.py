@@ -99,6 +99,7 @@ class TestMetricLogger:
         ml.log_histograms(1, {"params/w": np.random.default_rng(0).normal(size=64)})
         ml.log_images(1, {"latent/spec": np.zeros((3, 8, 8), np.float32)})
         ml.log_audio(1, "sample", np.zeros((1, 160), np.float32), 1600)
+        ml.log_vectors({"loss/per_timestep": [0.9, 0.5, 0.3]})
         ml.close()
 
         with open(tmp_path / "metrics.jsonl") as f:
