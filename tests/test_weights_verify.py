@@ -129,6 +129,36 @@ class TestVerifyWeightsCLI:
         assert report["checks"]["snr"] is False
         assert report["ok"] is False
 
+    def test_verify_codec_accepts_hf_layout_checkpoint(self, tmp_path):
+        """A HuggingFace transformers EncodecModel .pth passes the same
+        structural gates: the loader auto-detects and remaps the HF layout
+        (codec/hf_import.py), then key/param coverage run as usual."""
+        transformers = pytest.importorskip("transformers")
+        from jen1_tpu.ckpt.verify_weights import verify_codec
+        from jen1_tpu.codec.model import EncodecConfig
+
+        hf_cfg = transformers.EncodecConfig(
+            sampling_rate=1600, audio_channels=2, hidden_size=8,
+            num_filters=2, num_residual_layers=1, upsampling_ratios=[5, 4, 2],
+            codebook_size=16, codebook_dim=8, target_bandwidths=[0.5],
+            normalize=True, chunk_length_s=1.0, overlap=0.01,
+            norm_type="time_group_norm", use_causal_conv=False,
+        )
+        torch.manual_seed(0)
+        hf = transformers.EncodecModel(hf_cfg)
+        path = tmp_path / "encodec_hf_tiny.pth"
+        torch.save(hf.state_dict(), str(path))
+        cfg = EncodecConfig(
+            sample_rate=1600, channels=2, dimension=8, n_filters=2,
+            ratios=(5, 4, 2), n_q=int(hf.quantizer.get_num_quantizers_for_bandwidth(0.5)),
+            bins=16, causal=False, norm="time_group_norm",
+        )
+        report = verify_codec(str(path), min_snr_db=-1e9, sweep_seconds=0.5,
+                              config=cfg)
+        assert report["checks"]["key_coverage"] is True
+        assert report["checks"]["param_coverage"] is True
+        assert report["ok"] is True
+
     def test_cli_main_json_output(self, ckpt_path, tmp_path, monkeypatch):
         import jen1_tpu.ckpt.verify_weights as vw
 
