@@ -28,6 +28,16 @@ def make_trainer(mesh=None, grad_accum=1, use_ema=False, batch=3):
     return cfg, UnifiedMultiTaskTrainer(cfg, model, diffusion, mesh=mesh)
 
 
+@pytest.fixture(scope="module")
+def default_trainer():
+    """ONE default-config trainer shared by every default-arg test: the
+    jitted step/eval caches live on the trainer instance, so sharing it
+    avoids recompiling the two causal-variant steps per test (~1 min each
+    on this 1-core host). Tests create fresh state; the one test that
+    mutates trainer.conditioner restores it."""
+    return make_trainer()
+
+
 def make_batch(cfg, B=3, L=48):
     mc = cfg.model_config
     rng = np.random.default_rng(0)
@@ -67,12 +77,12 @@ class TestTaskMasks:
 
 
 class TestTrainStep:
-    def test_loss_decreases_on_repeated_batch(self):
+    def test_loss_decreases_on_repeated_batch(self, default_trainer):
         """Fixed step rng -> fixed noise/masks; loss must decrease WITHIN
         each causal-flag variant (the two variants run different noise
         streams since same-flag tasks share one grouped forward, so their
         absolute levels differ — comparing across variants is meaningless)."""
-        cfg, trainer = make_trainer()
+        cfg, trainer = default_trainer
         batch = make_batch(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
@@ -96,8 +106,8 @@ class TestTrainStep:
         for coin, losses in by_variant.items():
             assert losses[-1] < losses[0], (coin, losses)
 
-    def test_per_task_metrics_present(self):
-        cfg, trainer = make_trainer()
+    def test_per_task_metrics_present(self, default_trainer):
+        cfg, trainer = default_trainer
         batch = make_batch(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         state, metrics = trainer.train_step(
@@ -130,8 +140,8 @@ class TestTrainStep:
         p = jax.tree.leaves(state.params)[0]
         assert not np.allclose(np.asarray(e), np.asarray(p))
 
-    def test_eval_step(self):
-        cfg, trainer = make_trainer()
+    def test_eval_step(self, default_trainer):
+        cfg, trainer = default_trainer
         batch = make_batch(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         metrics = trainer.eval_step(state, batch, jax.random.PRNGKey(1))
@@ -187,11 +197,11 @@ class TestMeshDP:
             if hasattr(leaf, "sharding")
         )
 
-    def test_param_shardings_tp_rules(self):
+    def test_param_shardings_tp_rules(self, default_trainer):
         from jen1_tpu.parallel.mesh import make_mesh, param_shardings
 
         mesh = make_mesh(dp=4, tp=2)
-        cfg, trainer = make_trainer()
+        cfg, trainer = default_trainer
         batch = make_batch(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         sh = param_shardings(state.params, mesh)
@@ -206,14 +216,15 @@ class TestMeshDP:
 
 
 class TestEvaluate:
-    def test_per_task_and_variant_metrics(self):
+    def test_per_task_and_variant_metrics(self, default_trainer):
         """evaluate() reports every task plus BOTH text_guided causal
         variants (reference trainer.py:62-124; VERDICT r1 #10)."""
-        cfg, trainer = make_trainer()
+        cfg, trainer = default_trainer
         from jen1_tpu.conditioning.conditioners import (
             MultiConditioner, T5Conditioner,
         )
 
+        prev_conditioner = trainer.conditioner
         trainer.conditioner = MultiConditioner({
             "prompt": T5Conditioner(
                 output_dim=cfg.conditioner_config.cond_dim,
@@ -221,16 +232,19 @@ class TestEvaluate:
                 max_length=cfg.model_config.context_embedding_max_length,
             )
         })
-        batch = make_batch(cfg)
-        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        try:
+            batch = make_batch(cfg)
+            state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
-        def batches():
-            rng = np.random.default_rng(0)
-            for _ in range(2):
-                lat = rng.normal(size=(3, 48, 8)).astype(np.float32)
-                yield lat, [{"prompt": "x"}] * 3
+            def batches():
+                rng = np.random.default_rng(0)
+                for _ in range(2):
+                    lat = rng.normal(size=(3, 48, 8)).astype(np.float32)
+                    yield lat, [{"prompt": "x"}] * 3
 
-        m = trainer.evaluate(state, batches(), jax.random.PRNGKey(1))
+            m = trainer.evaluate(state, batches(), jax.random.PRNGKey(1))
+        finally:
+            trainer.conditioner = prev_conditioner  # shared fixture
         for task in cfg.tasks:
             assert f"loss_{task}/val" in m
         assert "loss_text_guided_bidir/val" in m
@@ -241,9 +255,9 @@ class TestEvaluate:
 
 
 class TestNonFiniteGuard:
-    def test_nan_grad_skips_update(self):
+    def test_nan_grad_skips_update(self, default_trainer):
         """A poisoned batch must not poison params (optax.apply_if_finite)."""
-        cfg, trainer = make_trainer()
+        cfg, trainer = default_trainer
         batch = make_batch(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
