@@ -100,6 +100,15 @@ def child_main() -> None:
     result_path = os.environ["_JEN1_BENCH_RESULT"]
 
     import jax
+
+    # JEN1_BENCH_PLATFORM=cpu forces the backend BEFORE first use — env vars
+    # like JAX_PLATFORMS are ignored by the pre-registered axon TPU plugin,
+    # whose init can block indefinitely when the tunnel is down. Used by the
+    # tiny CI smoke (tests/test_bench_smoke.py); unset on driver runs.
+    plat = os.environ.get("JEN1_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     import jax.numpy as jnp
 
     from jen1_tpu.config import Config
@@ -118,13 +127,25 @@ def child_main() -> None:
             f.flush()
             os.fsync(f.fileno())
 
-    cfg = Config()
+    # JEN1_BENCH_TINY=1: the same code path at toy dims on whatever backend
+    # is available — a CI smoke for THIS file (the driver only ever runs it
+    # full-size on TPU, so a regression here would otherwise surface as a
+    # silent 0.0 in BENCH_r{N}.json). Numbers from tiny mode are meaningless.
+    tiny = os.environ.get("JEN1_BENCH_TINY") == "1"
+    if tiny:
+        from jen1_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config()
+        cfg.diffusion_config.gaussian_diffusion.steps = 8
+        cfg.diffusion_config.gaussian_diffusion.noise_schedule = "cosine"
+    else:
+        cfg = Config()
     mc = cfg.model_config
     model = unet_from_model_config(mc)
 
     B = int(os.environ.get("JEN1_BENCH_BATCH", "1"))
-    seconds = 30
-    L = seconds * 150  # Encodec-48k latent frame rate
+    seconds = 1 if tiny else 30
+    L = seconds * (40 if tiny else 150)  # Encodec-48k latent frame rate
     M, E, C = (
         mc.context_embedding_max_length,
         mc.context_embedding_features,
@@ -201,9 +222,18 @@ def child_main() -> None:
 
     # Codec decode is part of the measured pipeline (BASELINE: "sample loop +
     # codec decode"). Weights are random (timing is value-independent).
-    from jen1_tpu.codec.model import EncodecModel, encodec_48khz_config
+    from jen1_tpu.codec.model import (
+        EncodecConfig,
+        EncodecModel,
+        encodec_48khz_config,
+    )
 
-    codec = EncodecModel(encodec_48khz_config())
+    codec = EncodecModel(
+        EncodecConfig(sample_rate=1600, channels=2, dimension=mc.in_channels,
+                      n_filters=2, ratios=(5, 4, 2), n_q=2, bins=16)
+        if tiny
+        else encodec_48khz_config()
+    )
     # "chunked_bf16" (bf16 decoder weights, ~40 dB below the fp32 decode)
     # would shave ~4 ms/clip but its fused program takes >1475 s to compile
     # on this host (vs 755 s for fp32-weights chunked) — past the driver's
