@@ -40,9 +40,15 @@ from typing import Dict, Set
 
 
 def is_hf_encodec_state_dict(state_dict) -> bool:
+    # Gate on HF's layer-naming scheme ONLY ((encoder|decoder).layers. /
+    # quantizer.layers.) — NOT on '.parametrizations.': a facebookresearch-
+    # layout checkpoint re-saved under torch>=2.1 new-style weight_norm also
+    # has parametrizations keys (under encoder.model.N...), and routing it
+    # here would fail with a misleading 'unrecognized HF EnCodec key'. Those
+    # keys are normalized fb-side in load_torch_encodec_state_dict.
     ks = state_dict.keys()
     return any(
-        k.startswith("quantizer.layers.") or ".parametrizations." in k
+        k.startswith("quantizer.layers.")
         or re.match(r"^(encoder|decoder)\.layers\.", k)
         for k in ks
     )

@@ -227,6 +227,11 @@ class EncodecModel:
         batch — MXU-friendly. Defaults mirror EnCodec's 1 s segment / 1%
         overlap (150-frame chunks, 2-frame = 640-sample crossfade).
         """
+        if dtype is not None and dtype != jnp.bfloat16:
+            raise ValueError(
+                f"decode_latent_chunked dtype must be None (fp32 weights) or "
+                f"jnp.bfloat16, got {dtype}"
+            )
         b, f, d = latent.shape
         hop = self.config.hop_length
         if f <= chunk_frames:
@@ -280,7 +285,12 @@ class EncodecModel:
         if f <= chunk_frames:
             return self.encode_latent(audio, quantize=quantize)
         n = max(1, math.ceil((f - chunk_frames) / hop_frames) + 1)
-        pad = ((n - 1) * hop_frames + chunk_frames) * hop - t
+        # Truncate the sub-frame tail FIRST (t may not be a multiple of hop;
+        # computing pad against raw t goes negative when f lands exactly on
+        # the chunk grid, e.g. f=298 with 150/148 defaults) then pad in whole
+        # frames — always >= 0.
+        audio = audio[:, : f * hop]
+        pad = ((n - 1) * hop_frames + chunk_frames - f) * hop
         key = ("enc", chunk_frames, hop_frames, n, b, quantize)
         fn = self._chunked_jit.get(key)
         if fn is None:
@@ -451,6 +461,15 @@ def load_torch_encodec_state_dict(path: str):
 
     if isinstance(obj, dict) and is_hf_encodec_state_dict(obj):
         obj = hf_encodec_to_fb_state_dict(obj)
+    elif isinstance(obj, dict):
+        # fb layout re-saved under torch>=2.1 stores weight_norm as
+        # parametrizations.weight.original0/1 instead of weight_g/weight_v;
+        # normalize so convert_torch_encodec sees one spelling.
+        obj = {
+            k.replace(".parametrizations.weight.original0", ".weight_g")
+             .replace(".parametrizations.weight.original1", ".weight_v"): v
+            for k, v in obj.items()
+        }
     return obj
 
 

@@ -232,6 +232,38 @@ class TestEncodecModel:
         chunk = np.asarray(m.encode_latent_chunked(audio, chunk_frames=40))
         np.testing.assert_allclose(chunk, whole, rtol=1e-5, atol=1e-6)
 
+    def test_chunked_encode_non_hop_multiple_at_grid_boundary(self, tiny_codec):
+        """Regression (r2 advisor, medium): when t is not a multiple of hop
+        AND the frame count lands exactly on the chunk grid
+        (f == (n-1)*hop_frames + chunk_frames), the pre-fix pad computed in
+        raw samples went negative and jnp.pad raised. The sub-frame tail must
+        be truncated (codec frame semantics) and padding done in whole
+        frames."""
+        m = tiny_codec
+        hop = m.config.hop_length
+        # chunk_frames=40, hop_frames=36 -> f=76 sits exactly on the grid
+        f = 76
+        t = f * hop + 17  # 17-sample sub-frame tail
+        audio = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(11), (1, t, 2)), np.float32
+        )
+        out = np.asarray(m.encode_latent_chunked(
+            audio, chunk_frames=40, hop_frames=36, quantize=False))
+        assert out.shape == (1, f, m.config.dimension)
+        # identical to encoding the frame-aligned truncation
+        ref = np.asarray(m.encode_latent_chunked(
+            audio[:, : f * hop], chunk_frames=40, hop_frames=36,
+            quantize=False))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+
+    def test_chunked_decode_rejects_unknown_dtype(self, tiny_codec):
+        """dtype only supports None (fp32 weights) or bf16; anything else
+        (fp16, a typo) must raise instead of silently running fp32
+        (r2 advisor, low)."""
+        z = jax.random.normal(jax.random.PRNGKey(12), (1, 100, 8))
+        with pytest.raises(ValueError, match="bfloat16"):
+            tiny_codec.decode_latent_chunked(z, dtype=jnp.float16)
+
     def test_overlap_add_constant_signal(self):
         pieces = [jnp.ones((1, 100, 2)), jnp.ones((1, 100, 2))]
         out = _linear_overlap_add(pieces, stride=90)

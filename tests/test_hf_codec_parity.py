@@ -110,3 +110,44 @@ class TestHFParity:
         # and the fb-side names are consumed by the strict converter
         # (convert_torch_encodec raises on unconsumed keys) — exercised in
         # test_encoder_decoder_quantizer_match via _our_model.
+
+
+class TestLayoutDetection:
+    def test_fb_layout_with_new_style_weight_norm_not_misrouted(self):
+        """Regression (r2 advisor, low): a facebookresearch-layout checkpoint
+        re-saved under torch>=2.1 new-style weight_norm carries
+        .parametrizations. keys; detection must key on HF's layer-naming
+        scheme only, not on parametrizations."""
+        from jen1_tpu.codec.hf_import import is_hf_encodec_state_dict
+
+        fb = {
+            "encoder.model.0.conv.conv.parametrizations.weight.original0": 0,
+            "encoder.model.0.conv.conv.parametrizations.weight.original1": 0,
+        }
+        assert not is_hf_encodec_state_dict(fb)
+        assert is_hf_encodec_state_dict(
+            {"encoder.layers.0.conv.conv.weight": 0})
+        assert is_hf_encodec_state_dict(
+            {"quantizer.layers.0.codebook.embed": 0})
+
+    def test_loader_normalizes_fb_new_style_weight_norm(self, tmp_path):
+        """load_torch_encodec_state_dict rewrites fb-side
+        parametrizations.weight.original0/1 to weight_g/weight_v so
+        convert_torch_encodec sees one spelling."""
+        import torch
+
+        from jen1_tpu.codec.model import load_torch_encodec_state_dict
+
+        sd = {
+            "encoder.model.0.conv.conv.parametrizations.weight.original0":
+                torch.zeros(2, 1, 1),
+            "encoder.model.0.conv.conv.parametrizations.weight.original1":
+                torch.zeros(2, 3, 5),
+            "encoder.model.0.conv.conv.bias": torch.zeros(2),
+        }
+        path = tmp_path / "fb_resaved.pth"
+        torch.save(sd, path)
+        out = load_torch_encodec_state_dict(str(path))
+        assert "encoder.model.0.conv.conv.weight_g" in out
+        assert "encoder.model.0.conv.conv.weight_v" in out
+        assert "encoder.model.0.conv.conv.bias" in out
