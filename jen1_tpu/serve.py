@@ -76,6 +76,11 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     audio: Optional[np.ndarray] = None  # (ch, T)
     error: Optional[str] = None
+    # set by submit() on timeout: the dispatcher drops the request at batch
+    # formation instead of spending a device batch on audio nobody reads
+    cancelled: bool = False
+    # _finish() ran (guarded by _depth_lock): makes depth release idempotent
+    finished: bool = False
 
     @property
     def batch_key(self):
@@ -158,9 +163,14 @@ class GenerationService:
         on generation failure, TimeoutError if the deadline passes,
         ServiceOverloaded when the admission queue is full, ServiceClosed
         after close()."""
-        if self._draining.is_set():
-            raise ServiceClosed("service is shutting down")
+        # draining check + admission are ONE atomic section: close() sets
+        # _draining under the same lock, so a submit that passes the check
+        # has already incremented _depth and the drain loop waits for it
+        # (previously a racer could enqueue after the drain loop read 0 and
+        # block forever with timeout=None).
         with self._depth_lock:
+            if self._draining.is_set():
+                raise ServiceClosed("service is shutting down")
             depth = self._depth
             admitted = depth < self.max_queue
             if admitted:
@@ -178,6 +188,10 @@ class GenerationService:
         self.stats["requests"] += 1
         self._queue.put(req)
         if not req.done.wait(timeout):
+            # mark abandoned: the dispatcher releases the depth slot and
+            # skips the request at batch formation (no device time for
+            # audio nobody will read)
+            req.cancelled = True
             raise TimeoutError("generation did not complete in time")
         if req.error is not None:
             raise RuntimeError(req.error)
@@ -225,21 +239,38 @@ class GenerationService:
 
     def close(self, drain_timeout: float = 60.0) -> None:
         """Graceful shutdown: refuse new work, let already-admitted requests
-        finish (up to drain_timeout), then stop the dispatcher."""
-        self._draining.set()
+        finish (up to drain_timeout), then stop the dispatcher. Anything
+        still queued afterwards (drain timed out) fails with ServiceClosed
+        instead of leaving its submitter blocked."""
+        with self._depth_lock:  # atomic vs submit's admission section
+            self._draining.set()
         deadline = time.time() + drain_timeout
         while self.queue_depth > 0 and time.time() < deadline:
             time.sleep(0.02)
         self._stop.set()
         self._thread.join(timeout=5.0)
+        leftovers: List[_Request] = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for req in leftovers:
+            self._finish(req, error="service closed while request queued")
 
     # ---------------------------------------------------------- internals
 
     def _finish(self, req: _Request, error: Optional[str] = None) -> None:
+        # idempotent: close()'s leftover sweep can race a still-draining
+        # dispatcher; the depth slot must be released exactly once
+        with self._depth_lock:
+            if req.finished:
+                return
+            req.finished = True
+            self._depth -= 1
         if error is not None:
             req.error = error
-        with self._depth_lock:
-            self._depth -= 1
         req.done.set()
 
     def _next_request(self, timeout: float) -> Optional[_Request]:
@@ -253,9 +284,16 @@ class GenerationService:
     def _collect_batch(self) -> List[_Request]:
         """Block for one request, then drain co-batchable ones (same
         batch_key) for up to max_wait_ms. Bumped different-key requests go
-        to the head-of-line `_pending` deque, not the back of the queue."""
+        to the head-of-line `_pending` deque, not the back of the queue.
+        Requests whose submitter timed out (cancelled) are finished and
+        dropped here, before any device time is spent on them."""
+        for req in [r for r in self._pending if r.cancelled]:
+            self._pending.remove(req)
+            self._finish(req, error="cancelled (submitter timed out)")
         first = self._next_request(timeout=0.1)
-        if first is None:
+        if first is None or first.cancelled:
+            if first is not None:
+                self._finish(first, error="cancelled (submitter timed out)")
             return []
         batch = [first]
         # older bumped requests of the same key ride this batch first
@@ -274,7 +312,9 @@ class GenerationService:
                 req = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
-            if req.batch_key == first.batch_key:
+            if req.cancelled:
+                self._finish(req, error="cancelled (submitter timed out)")
+            elif req.batch_key == first.batch_key:
                 batch.append(req)
             else:
                 self._pending.append(req)  # different graph: next batch

@@ -353,3 +353,70 @@ class TestHTTP:
         finally:
             httpd.shutdown()
             httpd.service.close()
+
+
+class TestCancellationAndCloseRaces:
+    """Regressions for the r2 advisor findings: timed-out submitters must
+    not cost device batches, depth slots release exactly once, and close()
+    fails stranded queued requests instead of leaving submitters blocked."""
+
+    def test_timed_out_request_not_run(self):
+        jen1 = FakeJen1(delay=0.4)
+        svc = GenerationService(jen1, max_batch=1, max_wait_ms=10.0,
+                                default_seconds=1.0, default_steps=2)
+        try:
+            t_a = threading.Thread(
+                target=lambda: svc.submit("A", seconds=1.0, timeout=10.0))
+            t_a.start()
+            time.sleep(0.1)  # A occupies the device
+            with pytest.raises(TimeoutError):
+                svc.submit("B", seconds=1.0, timeout=0.05)
+            t_a.join(10.0)
+            deadline = time.time() + 5.0
+            while svc.queue_depth > 0 and time.time() < deadline:
+                time.sleep(0.02)
+            assert svc.queue_depth == 0  # B's admission slot released
+            prompts = [p for c in jen1.calls for p in c["prompts"]]
+            assert "B" not in prompts  # no device batch for abandoned work
+        finally:
+            svc.close()
+
+    def test_depth_released_exactly_once(self):
+        from jen1_tpu.serve import _Request
+
+        svc = GenerationService(FakeJen1(), max_batch=1,
+                                default_seconds=1.0, default_steps=2)
+        try:
+            with svc._depth_lock:
+                svc._depth += 1
+            req = _Request("x", 1.0, 2, -1, False)
+            svc._finish(req, error="boom")
+            svc._finish(req, error="boom2")  # idempotent
+            assert svc.queue_depth == 0
+            assert req.error == "boom"
+        finally:
+            svc.close()
+
+    def test_close_fails_requests_still_queued(self):
+        from jen1_tpu.serve import _Request
+
+        svc = GenerationService(FakeJen1(), max_batch=1,
+                                default_seconds=1.0, default_steps=2)
+        # stop the dispatcher first, then strand an admitted request
+        svc._stop.set()
+        svc._thread.join(5.0)
+        req = _Request("stranded", 1.0, 2, -1, False)
+        with svc._depth_lock:
+            svc._depth += 1
+        svc._queue.put(req)
+        svc.close(drain_timeout=0.1)
+        assert req.done.is_set()
+        assert req.error is not None  # submitter unblocked with an error
+        assert svc.queue_depth == 0
+
+    def test_submit_after_close_raises_service_closed(self):
+        svc = GenerationService(FakeJen1(), max_batch=1,
+                                default_seconds=1.0, default_steps=2)
+        svc.close()
+        with pytest.raises(ServiceClosed):
+            svc.submit("late", seconds=1.0)
