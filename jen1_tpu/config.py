@@ -159,6 +159,14 @@ class OptimizerConfig:
     # a knob for param-regimes with many tiny leaves. Optimizer-state
     # layout (and thus checkpoints) differ across the flag.
     flatten_optimizer: bool = False
+    # Fused AdamW (train/fused_optim.py): clip + moments + weight decay +
+    # apply in one expression per leaf — one XLA loop reading (g, mu, nu, p)
+    # and writing (mu, nu, p) instead of the optax chain's ~15-20 HBM
+    # sweeps over 303.5 M params. Identical math (parity-tested); only
+    # grad_accum_every == 1 (the v5e big-batch recipe) uses it — MultiSteps
+    # accumulation falls back to the optax chain. Optimizer-state layout
+    # (and thus checkpoints) differ across the flag.
+    fused_adamw: bool = True
 
 
 @dataclass
