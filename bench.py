@@ -3,14 +3,15 @@
 Flagship configuration, matching the reference inference defaults
 (generation.py:76): 30 s clip -> Encodec-48k latent (B, 4500, 128), 100-step
 DDIM with classifier-free guidance batch-doubling (200 effective UNet
-forwards), bf16 compute.
+forwards), bf16 compute, EnCodec decode included.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is value / 10.0 — the north-star target is 10x realtime on one
 v5e chip (BASELINE.md), so 1.0 == target met.
 
-Robustness (round-1 failure was rc=124 with zero output):
+Robustness (r1 failure: rc=124 zero output; r2 failure: child hung in axon
+backend init with zero diagnostics, watchdog killed it at 1080 s):
   * the measurement runs in a CHILD process that writes the JSON line to a
     result file the moment the first timed run completes; the parent
     enforces a hard wall-clock deadline (default 1080 s, env
@@ -18,8 +19,18 @@ Robustness (round-1 failure was rc=124 with zero output):
     line (value 0.0 if nothing was measured). A watchdog process — not an
     in-process SIGALRM — because XLA compiles are single long C++ calls
     that Python signal handlers cannot preempt;
-  * the persistent XLA compile cache (~/.cache/jen1_tpu_xla) is enabled so a
-    re-run skips the slow sampler compile entirely.
+  * a HEARTBEAT thread in the child prints the current stage + elapsed
+    every 30 s, starting BEFORE `import jax` — so a dead tunnel (backend
+    init blocks indefinitely) is distinguishable from a compile overrun in
+    the driver tail (the GIL is released inside XLA C++ calls, so the
+    thread keeps printing during compiles);
+  * the DEFAULT pipeline is the proven sub-deadline one — sampler scan
+    program + separate chunked-decode program, chained asynchronously on
+    device (~195 s + ~90 s compiles, r1 measured) — and the first result is
+    written right after the first post-compile run. The sampler+decode
+    FUSED single program (~755 s compile on this host, worth ~6 ms/clip) is
+    only attempted AFTER a result is on disk and only when the remaining
+    deadline budget covers it (JEN1_BENCH_FUSED=1 forces it, =0 disables).
 """
 
 from __future__ import annotations
@@ -29,6 +40,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 
@@ -64,6 +76,7 @@ def parent_main() -> None:
     env = dict(os.environ)
     env["_JEN1_BENCH_CHILD"] = "1"
     env["_JEN1_BENCH_RESULT"] = result_path
+    env["_JEN1_BENCH_T0"] = str(time.time())
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -98,6 +111,29 @@ def parent_main() -> None:
 
 def child_main() -> None:
     result_path = os.environ["_JEN1_BENCH_RESULT"]
+    t_start = float(os.environ.get("_JEN1_BENCH_T0", time.time()))
+    deadline = int(os.environ.get("JEN1_BENCH_DEADLINE", "1080"))
+
+    def note(msg):
+        print(f"# bench[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+    # ---- heartbeat: prints current stage every 30 s, even mid-compile
+    # (XLA compiles release the GIL) and mid-backend-init (the r2 failure
+    # mode: the axon plugin blocked forever on a dead tunnel with zero
+    # output written).
+    stage = {"name": "importing jax / backend init"}
+
+    def _heartbeat():
+        while True:
+            time.sleep(30)
+            note(
+                f"heartbeat: stage='{stage['name']}' "
+                f"elapsed={time.time() - t_start:.0f}s "
+                f"deadline={deadline}s"
+            )
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
+    note("child start: importing jax (backend init may block if tunnel dead)")
 
     import jax
 
@@ -118,14 +154,14 @@ def child_main() -> None:
     from jen1_tpu.diffusion.gdm import create_gaussian_diffusion
     from jen1_tpu.models.unet import unet_from_model_config
 
-    def note(msg):
-        print(f"# bench[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
-
     def write_result(value):
         with open(result_path, "w") as f:
             json.dump({"value": value}, f)
             f.flush()
             os.fsync(f.fileno())
+
+    def budget_left():
+        return deadline - (time.time() - t_start)
 
     # JEN1_BENCH_TINY=1: the same code path at toy dims on whatever backend
     # is available — a CI smoke for THIS file (the driver only ever runs it
@@ -169,11 +205,13 @@ def child_main() -> None:
     mask = jnp.ones((B, M), bool)
     concat = jnp.zeros((B, L, C + 1), jnp.bfloat16)
 
+    stage["name"] = "device probe"
     note(f"device={jax.devices()[0].device_kind} B={B} L={L} steps={steps}")
     t0 = time.time()
     # eval_shape + zeros instead of a jitted init: the full-size init graph
     # is its own multi-minute XLA compile, and sampler TIMING is independent
     # of weight values (XLA specializes on shapes, not values).
+    stage["name"] = "param shapes (eval_shape)"
     shapes = jax.eval_shape(
         lambda r: model.init(
             r, x, t, embedding=emb, embedding_mask=mask,
@@ -251,12 +289,21 @@ def child_main() -> None:
             z.astype(jnp.bfloat16), dtype=ddtype
         )
     else:
-        decode = jax.jit(
-            lambda z: codec.decoder.apply(
-                codec.params["decoder"], z.astype(jnp.bfloat16)
-            ),
-            compiler_options=OPTS,
+        decode = lambda z: codec.decoder.apply(  # noqa: E731
+            codec.params["decoder"], z.astype(jnp.bfloat16)
         )
+
+    def _with_sum(f):
+        # Return (out, sum(out)) from ONE program: the scalar is the
+        # completion fence (see timing note below). Folding it into the
+        # program saves a full tunnel round-trip vs dispatching a
+        # separate checksum executable — measured 34 ms of the round-1
+        # 158 ms wall was exactly that second dispatch+fetch
+        # (benchmarks/b1_math_slope.py trivial-program probe).
+        def g(*a):
+            out = f(*a)
+            return out, jnp.sum(out.astype(jnp.float32))
+        return g
 
     if mode in ("scan", "dpm++"):
         # whole loop in ONE XLA program: no per-step host dispatch
@@ -275,108 +322,131 @@ def child_main() -> None:
                 encoder_reuse=enc_reuse,
             )
 
-        def _with_sum(f):
-            # Return (out, sum(out)) from ONE program: the scalar is the
-            # completion fence (see timing note below). Folding it into the
-            # program saves a full tunnel round-trip vs dispatching a
-            # separate checksum executable — measured 34 ms of the 158 ms
-            # round-1 wall was exactly that second dispatch+fetch
-            # (benchmarks/b1_math_slope.py trivial-program probe).
-            def g(*a):
-                out = f(*a)
-                return out, jnp.sum(out.astype(jnp.float32))
-            return g
+        # DEFAULT (driver) pipeline: TWO programs — sampler scan + chunked
+        # decode(+checksum) — chained asynchronously: jax dispatch queues
+        # decode(latents) on device without a host round-trip, so the only
+        # cost vs the fused single program is the 2.3 MB latent buffer
+        # write/read (~6 ms/clip measured in r2). Compiles in ~195 s + ~90 s
+        # on this host vs ~755 s for the fused program — the r2 fused-default
+        # regression (BENCH_r02 = 0.0) is why unfused is the default again.
+        sampler_prog = jax.jit(raw_sample, compiler_options=OPTS)
+        decode_prog = jax.jit(_with_sum(decode), compiler_options=OPTS)
 
-        sample_latents = jax.jit(_with_sum(raw_sample), compiler_options=OPTS)
-        # Headline pipeline: sampler + codec decode + completion checksum
-        # FUSED into ONE XLA program — no latent round-trip to host
-        # scheduling between the stages, one dispatch through the tunnel
-        # (r2: closing the B=1 end-to-end vs in-loop roofline gap).
-        sample = jax.jit(
+        def sample(rng):
+            return decode_prog(sampler_prog(rng))
+
+        # Fused upgrade candidate (sampler+decode+checksum in ONE program):
+        # built lazily, only attempted after a result is on disk.
+        fused_prog = jax.jit(
             _with_sum(lambda rng: decode(raw_sample(rng))),
             compiler_options=OPTS,
         )
     else:
         _sum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
-
-        def sample_latents(rng):
-            out = gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
-                             mode=mode, compiler_options=OPTS)
-            return out, _sum(out)
+        decode_j = jax.jit(decode, compiler_options=OPTS)
 
         def sample(rng):
-            out = decode(sample_latents(rng)[0])
+            lat = gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
+                             mode=mode, compiler_options=OPTS)
+            out = decode_j(lat)
             return out, _sum(out)
+
+        fused_prog = None
 
     # Timing is via a host fetch of a scalar that depends on every output
     # element — NOT block_until_ready: on this tunneled runtime
     # block_until_ready returns in ~0.1 ms for some executables (measured:
     # whole-clip codec decode "completes" 1000x faster than its FLOP floor)
     # while fetching the output-dependent sum reports walls consistent with
-    # the roofline. The sum is computed INSIDE the sampled program (see
+    # the roofline. The sum is computed INSIDE the decode program (see
     # _with_sum) so the fence costs zero extra dispatches.
+    stage["name"] = "sampler+decode compile (expect ~195s+~90s on v5e host)"
     t0 = time.time()
     _, chk = sample(key(2))
     float(chk)
-    note(f"sampler compile+first run={time.time() - t0:.1f}s")
+    first_wall = time.time() - t0
+    note(f"pipeline compile+first run={first_wall:.1f}s")
 
-    # Throughput: K back-to-back clips per trial. Dispatch is async and the
-    # device serializes compute, so the K executions queue with ONE
-    # blocking-fetch round-trip at the end — steady-state throughput, which
-    # is what audio-s/s means. The ~34 ms fixed fetch latency of this
-    # tunnel (benchmarks/b1_math_slope.py) is amortized 1/K instead of
-    # dominating 20% of every wall; single-clip latency is reported
-    # separately below.
-    K = int(os.environ.get("JEN1_BENCH_PIPELINE", "6"))
-    times = []  # per-clip amortized walls
-    for i in range(3):
-        t0 = time.time()
-        chks = [sample(key(10 * i + j + 3))[1] for j in range(K)]
-        for c in chks:
-            float(c)
-        times.append((time.time() - t0) / K)
-        write_result(seconds * B / min(times))
-        note(
-            f"trial {i}: {times[-1]:.3f}s/clip (K={K}) "
-            f"-> {seconds * B / min(times):.2f} audio_s/s"
-        )
+    def run_trials(fn, tag):
+        # Throughput: K back-to-back clips per trial. Dispatch is async and
+        # the device serializes compute, so the K chains queue with ONE
+        # blocking-fetch round-trip at the end — steady-state throughput,
+        # which is what audio-s/s means. The ~34 ms fixed fetch latency of
+        # this tunnel (benchmarks/b1_math_slope.py) is amortized 1/K instead
+        # of dominating 20% of every wall; single-clip latency is reported
+        # separately below.
+        K = int(os.environ.get("JEN1_BENCH_PIPELINE", "8"))
+        times = []  # per-clip amortized walls
+        for i in range(3):
+            t0 = time.time()
+            chks = [fn(key(100 * (i + 1) + j + 3))[1] for j in range(K)]
+            for c in chks:
+                float(c)
+            times.append((time.time() - t0) / K)
+            note(
+                f"{tag} trial {i}: {times[-1]:.3f}s/clip (K={K}) "
+                f"-> {seconds * B / min(times):.2f} audio_s/s"
+            )
+        return min(times)
 
-    best = min(times)
+    stage["name"] = "timed trials (unfused)"
+    best = run_trials(sample, "unfused")
+    write_result(seconds * B / best)
+
     t0 = time.time()
     float(sample(key(99))[1])
     note(f"single-clip latency (incl. fetch round-trip)={time.time() - t0:.3f}s")
 
+    # ---- fused upgrade: one XLA program for sampler+decode+checksum.
+    # Worth ~6 ms/clip (r2 measured 236.6 vs ~230 unfused) but costs a
+    # ~755 s compile on this host — only attempt it with a result already
+    # on disk AND enough deadline budget left (or when forced).
+    fused_env = os.environ.get("JEN1_BENCH_FUSED", "auto")
+    want_fused = fused_prog is not None and not tiny and (
+        fused_env == "1"
+        or (fused_env == "auto" and budget_left() > 900)
+    )
+    if want_fused:
+        stage["name"] = "FUSED program compile (expect ~755s on v5e host)"
+        note(f"attempting fused upgrade (budget left {budget_left():.0f}s)")
+        try:
+            t0 = time.time()
+            _, chk = fused_prog(key(2))
+            float(chk)
+            note(f"fused compile+first run={time.time() - t0:.1f}s")
+            stage["name"] = "timed trials (fused)"
+            best_fused = run_trials(fused_prog, "fused")
+            if best_fused < best:
+                best = best_fused
+                write_result(seconds * B / best)
+                note("fused pipeline adopted")
+        except Exception as e:  # noqa: BLE001
+            note(f"fused upgrade failed, keeping unfused result: "
+                 f"{type(e).__name__}: {e}")
+    elif fused_prog is not None and not tiny:
+        note(f"fused upgrade skipped (budget left {budget_left():.0f}s < 900s;"
+             f" JEN1_BENCH_FUSED=1 forces)")
+
     if os.environ.get("JEN1_BENCH_BREAKDOWN") == "1":
-        # component walls (each its own program + compile — manual runs only)
-        lat, chk = sample_latents(key(9))
-        float(chk)  # warm sampler-only program
+        # component walls (each its own program — manual runs only)
+        stage["name"] = "breakdown"
+        lat = sampler_prog(key(9))
+        ssum = jax.jit(lambda z: jnp.sum(z.astype(jnp.float32)))
+        float(ssum(lat))  # warm sampler-only fence
         t0 = time.time()
-        lat, chk = sample_latents(key(10))
-        float(chk)
+        lat = sampler_prog(key(10))
+        float(ssum(lat))
         t_sample = time.time() - t0
-        dsum = jax.jit(lambda z: jnp.sum(decode(z).astype(jnp.float32)))
-        float(dsum(lat))  # warm decode(+sum) program
         lat2 = lat + 1e-3  # vary args: the tunnel can replay identical
         # (executable, args) pairs from cache (see timing note above)
         t0 = time.time()
-        float(dsum(lat2))
+        float(decode_prog(lat2)[1])
         t_decode = time.time() - t0
         note(
             f"breakdown: sampler={t_sample:.3f}s decode={t_decode:.3f}s "
-            f"fused_total={best:.3f}s overlap_gain="
-            f"{t_sample + t_decode - best:.3f}s (component walls each "
+            f"pipeline_total={best:.3f}s (component walls each "
             f"include ~34ms fixed tunnel dispatch+fetch latency)"
         )
-        try:
-            cost = sample.lower(key(0)).compile().cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            note(
-                f"fused program cost_analysis: flops={cost.get('flops', 0):.3e}"
-                f" bytes={cost.get('bytes accessed', 0):.3e}"
-            )
-        except Exception as e:  # noqa: BLE001
-            note(f"cost_analysis unavailable: {type(e).__name__}: {e}")
 
     # HBM roofline (no extra compile): this model is MEMORY-bound (33
     # GFLOP/forward vs 600 MB of bf16 weights read per forward), so the
@@ -392,12 +462,12 @@ def child_main() -> None:
     # MFU estimate: FLOPs of one denoiser forward (CFG-doubled) from XLA's
     # cost analysis x steps / best wall / chip peak (v5e: 197 TFLOP/s bf16).
     # Costs a separate ~100-250 s forward compile -> opt-in for manual runs
-    # (the driver's 1080 s deadline budget goes to the fused program).
+    # (the driver's deadline budget goes to the pipeline programs).
     if os.environ.get("JEN1_BENCH_MFU") != "1":
-        note(f"best_wall={best:.3f}s runs={['%.3f' % v for v in times]} "
-             f"mode={mode}")
+        note(f"best_wall={best:.3f}s mode={mode}")
         return
     try:
+        stage["name"] = "MFU forward compile"
         lowered = jax.jit(
             lambda a: model_fn(
                 a, t, embedding=emb, embedding_mask=mask,
@@ -410,9 +480,7 @@ def child_main() -> None:
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_fwd = float(cost.get("flops", 0.0))
-        is_v5e = "v5" in jax.devices()[0].device_kind.lower()
         peak = 197e12 if is_v5e else 275e12
-        hbm_bw = 8.19e11 if is_v5e else 1.2e12  # v5e: 819 GB/s
         # This model is MEMORY-bound, not FLOPs-bound (33 GFLOP/forward vs
         # 600 MB of bf16 weights read per forward): the meaningful roofline
         # is HBM bandwidth, reported as the fraction of peak implied by one
@@ -425,7 +493,7 @@ def child_main() -> None:
         )
     except Exception as e:  # noqa: BLE001
         note(f"mfu unavailable: {type(e).__name__}: {e}")
-    note(f"best_wall={best:.2f}s runs={['%.2f' % v for v in times]} mode={mode}")
+    note(f"best_wall={best:.2f}s mode={mode}")
 
 
 if __name__ == "__main__":
