@@ -78,6 +78,42 @@ class TestFlashAttention:
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
             )
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_gradients_match_padded_multiblock(self, causal):
+        """r3 streamed-K/V kernel + Pallas backward: non-divisible n (padded
+        query ROWS must be masked in dk/dv, which contract over rows) and
+        multiple k-blocks (streaming accumulation across the grid)."""
+        q, k, v = make_qkv(N=563, D=32, seed=6)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, causal=causal) ** 2)
+
+        gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_forward_memory_is_streamed(self):
+        """The kernel must not stage the full (N, D) K/V per program: jaxpr
+        block shapes for K/V carry block_k, not N (r2 weak #4 regression
+        guard — full-slice BlockSpecs put N back into VMEM)."""
+        import re
+
+        from jen1_tpu.ops.flash_attention import _flash_forward_lse
+
+        q, k, v = make_qkv(N=2048, D=32, seed=7)
+        jaxpr = str(jax.make_jaxpr(
+            lambda q, k, v: _flash_forward_lse(q, k, v, False))(q, k, v))
+        # every pallas block spec over K/V must be (1, 512, 32)-shaped;
+        # a (1, 2048, 32) K/V block would mean full-slice staging
+        assert not re.search(r"1,2048,32", jaxpr.replace(" ", "")), (
+            "K/V appear fully staged per program")
+
     def test_bf16(self):
         q, k, v = (a.astype(jnp.bfloat16) for a in make_qkv(N=256, D=64, seed=4))
         out = jax.jit(lambda q, k, v: flash_attention(q, k, v, False))(q, k, v)
