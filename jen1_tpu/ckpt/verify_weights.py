@@ -1,9 +1,12 @@
-"""`jen1-verify-weights`: prove a pretrained checkpoint actually loads.
+"""`jen1-verify-weights`: prove pretrained checkpoints actually load.
 
-VERDICT r1 #3: the codec converter was only mock-parity-locked — "capability
-parity on L0 is a claim, not a fact" until a real checkpoint flows
-encode->decode with measured SNR. This CLI turns the claim into a check:
+VERDICT r1 #3 / r2 next-#8: no pretrained checkpoint file exists in this
+image, so real-weights bring-up is environment-gated. This CLI makes the
+first real-weights session a 5-minute exercise: it validates all THREE
+checkpoint families (EnCodec-48k codec, FLAN-T5 text encoder, JEN-1 UNet)
+and, when all three are given, generates an end-to-end clip.
 
+Codec checks (reference generation.py:34 loads EnCodec-48k):
   1. KEY COVERAGE — every key of the given EnCodec state_dict must be either
      consumed by `convert_torch_encodec` or a known inference-irrelevant
      codebook buffer; and the key set is diffed against the public layout
@@ -18,9 +21,20 @@ encode->decode with measured SNR. This CLI turns the claim into a check:
      codec gives strongly negative SNR, so --min-snr-db (default 0) catches
      weight-scramble bugs that key/shape checks cannot.
 
+T5 checks (reference jen1/conditioners.py:61-75 loads FLAN-T5-large):
+  geometry is INFERRED from the state dict (d_model/layers/d_ff/heads), the
+  converted tree must cover every param of the from-scratch T5Encoder, and a
+  forward must be finite with exact padding-mask invariance (tokens behind
+  the mask cannot change unmasked outputs).
+
+JEN-1 UNet checks (reference script_util.py:79-90 .pth layout):
+  `load_reference_checkpoint` conversion, param coverage vs the flax UNet
+  init for the given config, and a finite CFG denoiser forward.
+
 Usage:
     jen1-verify-weights --codec-weights /path/to/encodec_48khz.th
-    jen1-verify-weights --codec-weights ... --json report.json --min-snr-db 3
+    jen1-verify-weights --codec-weights ... --t5-weights hf_t5.pt \\
+        --jen1-weights jen1.pth --generate-secs 10 --out-wav demo.wav
 """
 
 from __future__ import annotations
@@ -136,21 +150,263 @@ def verify_codec(
     return report
 
 
+def _load_torch_sd(path: str) -> dict:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return obj
+
+
+def infer_t5_config(sd: dict):
+    """Geometry from an HF T5EncoderModel state dict — no name guessing."""
+    import re as _re
+
+    from jen1_tpu.conditioning.t5 import T5EncoderConfig
+
+    emb = sd.get("shared.weight", sd.get("encoder.embed_tokens.weight"))
+    if emb is None:
+        raise KeyError("no shared.weight/encoder.embed_tokens.weight")
+    vocab, d_model = tuple(emb.shape)
+    layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := _re.match(r"encoder\.block\.(\d+)\.", k))
+    )
+    gated = "encoder.block.0.layer.1.DenseReluDense.wi_0.weight" in sd
+    ff_key = (
+        "encoder.block.0.layer.1.DenseReluDense.wi_0.weight"
+        if gated
+        else "encoder.block.0.layer.1.DenseReluDense.wi.weight"
+    )
+    d_ff = int(sd[ff_key].shape[0])
+    inner = int(sd["encoder.block.0.layer.0.SelfAttention.q.weight"].shape[0])
+    buckets = int(
+        sd["encoder.block.0.layer.0.SelfAttention."
+           "relative_attention_bias.weight"].shape[0]
+    )
+    heads = int(
+        sd["encoder.block.0.layer.0.SelfAttention."
+           "relative_attention_bias.weight"].shape[1]
+    )
+    return T5EncoderConfig(
+        vocab_size=int(vocab), d_model=int(d_model), d_kv=inner // heads,
+        num_heads=heads, d_ff=d_ff, num_layers=layers,
+        relative_attention_num_buckets=buckets,
+        feed_forward_proj="gated-gelu" if gated else "relu",
+    )
+
+
+def verify_t5(weights_path: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from jen1_tpu.conditioning.t5 import T5Encoder, convert_hf_t5_encoder
+
+    sd = _load_torch_sd(weights_path)
+    cfg = infer_t5_config(sd)
+    params = convert_hf_t5_encoder(sd, cfg)
+    report: dict = {
+        "weights_path": weights_path,
+        "inferred_config": {
+            "d_model": cfg.d_model, "num_layers": cfg.num_layers,
+            "d_ff": cfg.d_ff, "num_heads": cfg.num_heads,
+            "vocab_size": cfg.vocab_size,
+            "feed_forward_proj": cfg.feed_forward_proj,
+        },
+    }
+    model = T5Encoder(cfg)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 12)),
+        jnp.int32,
+    )
+    mask = jnp.asarray([[True] * 12, [True] * 7 + [False] * 5])
+    want = _leaf_paths(
+        jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids, mask))[
+            "params"
+        ]
+    )
+    got = _leaf_paths(params["params"])
+    report["param_coverage"] = {
+        "n_params": len(want),
+        "uninitialized": sorted(set(want) - set(got)),
+        "extraneous": sorted(set(got) - set(want)),
+        "shape_mismatch": sorted(
+            p for p in set(want) & set(got) if want[p] != got[p]
+        ),
+    }
+    pc = report["param_coverage"]
+    params_ok = not (pc["uninitialized"] or pc["extraneous"]
+                     or pc["shape_mismatch"])
+
+    fwd = jax.jit(lambda i, m: model.apply(params, i, m))
+    out = np.asarray(fwd(ids, mask))
+    # exact padding-mask invariance: garbage behind the mask must not leak
+    ids2 = ids.at[1, 7:].set((ids[1, 7:] + 1) % cfg.vocab_size)
+    out2 = np.asarray(fwd(ids2, mask))
+    mask_ok = bool(np.array_equal(out[1, :7], out2[1, :7]))
+    finite_ok = bool(np.isfinite(out).all())
+    report["forward"] = {
+        "finite": finite_ok,
+        "mask_invariance": mask_ok,
+        "emb_rms": round(float(np.sqrt((out**2).mean())), 4),
+    }
+    report["checks"] = {
+        "param_coverage": params_ok, "finite": finite_ok,
+        "mask_invariance": mask_ok,
+    }
+    report["ok"] = params_ok and finite_ok and mask_ok
+    return report
+
+
+def verify_jen1(weights_path: str, config=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from jen1_tpu.ckpt.torch_import import load_reference_checkpoint
+    from jen1_tpu.config import Config
+    from jen1_tpu.models.unet import unet_from_model_config
+
+    config = config or Config()
+    mc = config.model_config
+    params, epoch, lr = load_reference_checkpoint(weights_path, mc)
+    report: dict = {"weights_path": weights_path, "epoch": epoch}
+
+    model = unet_from_model_config(mc)
+    B, L = 1, 48
+    x = jnp.zeros((B, L, mc.in_channels), jnp.float32)
+    t = jnp.zeros((B,), jnp.float32)
+    emb = jnp.zeros(
+        (B, mc.context_embedding_max_length, mc.context_embedding_features),
+        jnp.float32,
+    )
+    msk = jnp.ones((B, mc.context_embedding_max_length), bool)
+    concat = jnp.zeros((B, L, mc.in_channels + 1), jnp.float32)
+    want = _leaf_paths(
+        jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), x, t, embedding=emb,
+                embedding_mask=msk, channels_list=[concat], causal=False,
+            )
+        )["params"]
+    )
+    got = _leaf_paths(params["params"])
+    report["param_coverage"] = {
+        "n_params": len(want),
+        "uninitialized": sorted(set(want) - set(got)),
+        "extraneous": sorted(set(got) - set(want)),
+        "shape_mismatch": sorted(
+            p for p in set(want) & set(got) if want[p] != got[p]
+        ),
+    }
+    pc = report["param_coverage"]
+    params_ok = not (pc["uninitialized"] or pc["extraneous"]
+                     or pc["shape_mismatch"])
+
+    out = np.asarray(
+        jax.jit(
+            lambda: model.apply(
+                params, x, t, embedding=emb, embedding_mask=msk,
+                channels_list=[concat], embedding_scale=0.8,
+                batch_cfg=True, scale_cfg=True, causal=False,
+            )
+        )()
+    )
+    finite_ok = bool(np.isfinite(out).all())
+    report["forward"] = {"finite": finite_ok, "shape": list(out.shape)}
+    report["checks"] = {"param_coverage": params_ok, "finite": finite_ok}
+    report["ok"] = params_ok and finite_ok
+    return report
+
+
+def generate_clip(codec_path, t5_path, jen1_path, seconds, out_wav,
+                  config=None) -> dict:
+    """All three families verified: produce an actual clip end-to-end."""
+    from jen1_tpu.api.generation import Jen1
+    from jen1_tpu.codec.model import (
+        EncodecModel, convert_torch_encodec, encodec_48khz_config,
+        load_torch_encodec_state_dict,
+    )
+    from jen1_tpu.config import Config
+
+    ccfg = encodec_48khz_config()
+    codec = EncodecModel(
+        ccfg,
+        params=convert_torch_encodec(
+            load_torch_encodec_state_dict(codec_path), ccfg
+        ),
+    )
+    cfg = config or Config()
+    cfg.conditioner_config.t5_config.weights_path = t5_path
+    jen = Jen1(
+        ckpt_path=jen1_path, config=cfg, codec=codec,
+        sample_rate=ccfg.sample_rate,
+    )
+    audio = jen.generate(
+        "warm synth pads over a mellow beat", seconds=float(seconds),
+        seed=0, steps=100,
+    )
+    rms = float(np.sqrt((np.asarray(audio) ** 2).mean()))
+    if out_wav:
+        from jen1_tpu.data.audio_io import write_wav
+
+        write_wav(out_wav, np.asarray(audio)[0], ccfg.sample_rate)
+    return {
+        "seconds": seconds, "rms": round(rms, 5),
+        "finite": bool(np.isfinite(np.asarray(audio)).all()),
+        "out_wav": out_wav,
+        "ok": bool(np.isfinite(np.asarray(audio)).all()) and rms > 1e-5,
+    }
+
+
 def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--codec-weights", required=True,
+    p.add_argument("--codec-weights", default=None,
                    help="pretrained EnCodec-48k torch state_dict (.pt/.th)")
+    p.add_argument("--t5-weights", default=None,
+                   help="HF T5EncoderModel torch state_dict (.pt/.bin)")
+    p.add_argument("--jen1-weights", default=None,
+                   help="reference JEN-1 UNet .pth (script_util.py layout)")
     p.add_argument("--min-snr-db", type=float, default=0.0,
-                   help="fail if round-trip SNR is below this (random "
+                   help="fail if codec round-trip SNR is below this (random "
                         "weights land far below 0 dB)")
     p.add_argument("--sweep-seconds", type=float, default=3.0)
+    p.add_argument("--generate-secs", type=float, default=0.0,
+                   help="with all three families given: generate a clip of "
+                        "this length end-to-end as the final check")
+    p.add_argument("--out-wav", default=None,
+                   help="write the generated clip here (with --generate-secs)")
     p.add_argument("--json", default=None, help="also write the report here")
     args = p.parse_args(argv)
+    if not (args.codec_weights or args.t5_weights or args.jen1_weights):
+        p.error("give at least one of --codec-weights/--t5-weights/"
+                "--jen1-weights")
 
-    report = verify_codec(
-        args.codec_weights, min_snr_db=args.min_snr_db,
-        sweep_seconds=args.sweep_seconds,
-    )
+    report: dict = {}
+    if args.codec_weights:
+        report["codec"] = verify_codec(
+            args.codec_weights, min_snr_db=args.min_snr_db,
+            sweep_seconds=args.sweep_seconds,
+        )
+    if args.t5_weights:
+        report["t5"] = verify_t5(args.t5_weights)
+    if args.jen1_weights:
+        report["jen1"] = verify_jen1(args.jen1_weights)
+    ok = all(r["ok"] for r in report.values())
+    if args.generate_secs > 0:
+        if not (args.codec_weights and args.t5_weights and args.jen1_weights):
+            p.error("--generate-secs needs all three weight families")
+        if ok:
+            report["generate"] = generate_clip(
+                args.codec_weights, args.t5_weights, args.jen1_weights,
+                args.generate_secs, args.out_wav,
+            )
+            ok = ok and report["generate"]["ok"]
+        else:
+            report["generate"] = {"skipped": "family checks failed"}
+    report["ok"] = ok
     text = json.dumps(report, indent=2)
     print(text)
     if args.json:
