@@ -1,11 +1,15 @@
 """TPU microbenchmark: Pallas flash attention vs XLA attention.
 
 Compares wall time and numerics at the sequence lengths that matter for this
-framework (VERDICT r1 #4: prove the kernel on the real chip or demote it):
+framework (VERDICT r1 #4: prove the kernel on the real chip or demote it;
+VERDICT r2 #3: demonstrate the lengths XLA cannot reach):
   * 70:   deepest flagship attention level at 30 s clips (XLA territory)
   * 512:  flash_min_seq_len default
   * 1536 / 4500 / 4608: long-form & Composer-scale latents (4500 exercises
     the non-divisible padding path)
+  * 16384 / 45056: single-window long-form (45k ~ 5 min of latents) — the
+    XLA path's (B,H,N,N) scores need 34 GB / 259 GB and cannot run on a
+    16 GB chip; the streamed-K/V kernel holds O(block) VMEM state.
 
 Writes benchmarks/FLASH_ATTENTION_TPU.md and prints the table.
 
@@ -23,23 +27,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-CHAIN = 50  # applications per dispatch: single-op walls through the axon
-# tunnel are dominated by ~25 ms of per-dispatch round-trip latency, so each
-# measurement chains the op on device (output feeds the next query) and
-# divides by the chain length.
+def chain_for(n: int) -> int:
+    """Applications per dispatch: single-op walls through the axon tunnel
+    are dominated by ~25-35 ms of per-dispatch round-trip latency, so each
+    measurement chains the op on device (output feeds the next query) and
+    divides by the chain length. Long-N applications cost seconds each and
+    need no amortization."""
+    if n >= 32768:
+        return 1
+    if n >= 8192:
+        return 4
+    return 50
 
 
-def make_chained(attn_fn):
+def make_chained(attn_fn, chain: int):
     def chained(q, k, v):
         def body(_, acc):
             return attn_fn(acc, k, v)
 
-        return jax.lax.fori_loop(0, CHAIN, body, q)
+        return jax.lax.fori_loop(0, chain, body, q)
 
     return jax.jit(chained)
 
 
-def timeit(fn, *args, warmup=2, iters=10):
+def timeit(fn, *args, chain=50, warmup=2, iters=10):
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     ts = []
@@ -47,22 +58,32 @@ def timeit(fn, *args, warmup=2, iters=10):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts) / CHAIN
+    return min(ts) / chain
 
 
 def main():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from jen1_tpu.ops.attention import dot_product_attention
-    from jen1_tpu.ops.flash_attention import _flash_forward
+    from jen1_tpu.ops.flash_attention import _flash_forward_lse
     from jen1_tpu.utils.compile_cache import enable_compile_cache
+
+    def _flash_forward(q, k, v, causal):
+        return _flash_forward_lse(q, k, v, causal)[0]
 
     enable_compile_cache()
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} backend: {jax.default_backend()}")
 
     B, H, D = 2, 8, 64  # CFG-doubled batch, flagship heads/dim
+    ns = os.environ.get("JEN1_FLASH_NS", "70,512,1536,4500,4608,16384,45056")
     rows = []
-    for N in (70, 512, 1536, 4500, 4608):
+    for N in (int(x) for x in ns.split(",")):
+        chain = chain_for(N)
+        iters = 10 if chain > 1 else 3
+        # the XLA path materializes (B,H,N,N) fp32 scores; skip where that
+        # alone exceeds HBM (the whole point of the streamed kernel)
+        scores_gb = B * H * N * N * 4 / 2**30
+        xla_feasible = scores_gb < 8.0
         for causal in (False, True):
             rng = jax.random.PRNGKey(N)
             kq, kk, kv = jax.random.split(rng, 3)
@@ -70,36 +91,46 @@ def main():
             k = jax.random.normal(kk, (B, H, N, D), jnp.bfloat16)
             v = jax.random.normal(kv, (B, H, N, D), jnp.bfloat16)
 
-            xla_one = jax.jit(
-                lambda q, k, v, c=causal: dot_product_attention(q, k, v, causal=c)
-            )
-            xla = make_chained(
-                lambda q, k, v, c=causal: dot_product_attention(q, k, v, causal=c)
-            )
-            t_xla = timeit(xla, q, k, v)
+            if xla_feasible:
+                xla_one = jax.jit(
+                    lambda q, k, v, c=causal: dot_product_attention(
+                        q, k, v, causal=c)
+                )
+                xla = make_chained(
+                    lambda q, k, v, c=causal: dot_product_attention(
+                        q, k, v, causal=c), chain
+                )
+                t_xla = timeit(xla, q, k, v, chain=chain, iters=iters)
+                xla_us = f"{t_xla * 1e6:.0f}"
+            else:
+                t_xla = None
+                xla_us = f"OOM ({scores_gb:.0f} GB scores)"
 
             if N >= 128:
                 flash_one = jax.jit(
                     lambda q, k, v, c=causal: _flash_forward(q, k, v, c)
                 )
                 flash = make_chained(
-                    lambda q, k, v, c=causal: _flash_forward(q, k, v, c)
+                    lambda q, k, v, c=causal: _flash_forward(q, k, v, c),
+                    chain,
                 )
-                t_flash = timeit(flash, q, k, v)
-                a = np.asarray(xla_one(q, k, v), np.float32)
-                b = np.asarray(flash_one(q, k, v), np.float32)
-                max_err = float(np.max(np.abs(a - b)))
-                rel = np.abs(a - b) / (np.abs(a) + 1e-3)
-                max_rel = float(np.max(rel))
+                t_flash = timeit(flash, q, k, v, chain=chain, iters=iters)
                 flash_us = f"{t_flash * 1e6:.0f}"
-                speedup = f"{t_xla / t_flash:.2f}x"
-                err = f"{max_err:.2e} / {max_rel:.2e}"
+                if xla_feasible:
+                    a = np.asarray(xla_one(q, k, v), np.float32)
+                    b = np.asarray(flash_one(q, k, v), np.float32)
+                    max_err = float(np.max(np.abs(a - b)))
+                    rel = np.abs(a - b) / (np.abs(a) + 1e-3)
+                    speedup = f"{t_xla / t_flash:.2f}x"
+                    err = f"{max_err:.2e} / {float(np.max(rel)):.2e}"
+                else:
+                    b = np.asarray(flash_one(q, k, v), np.float32)
+                    assert np.isfinite(b).all(), "flash output not finite"
+                    speedup, err = "XLA infeasible", "finite"
             else:
                 flash_us, speedup, err = "n/a", "n/a", "n/a"
 
-            rows.append(
-                (N, causal, f"{t_xla * 1e6:.0f}", flash_us, speedup, err)
-            )
+            rows.append((N, causal, xla_us, flash_us, speedup, err))
             print(rows[-1], flush=True)
 
     lines = [

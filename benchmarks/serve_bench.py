@@ -105,7 +105,62 @@ def main():
         f"batches={svc.stats['batches']} padded_lanes="
         f"{svc.stats['padded_lanes']}", flush=True,
     )
+
+    # ---- overload burst: a burst beyond max_queue must shed load with
+    # ServiceOverloaded (HTTP layer maps it to 503) while admitted requests
+    # still complete. Uses a tiny queue to make shedding immediate.
+    from jen1_tpu.serve import ServiceOverloaded
+
+    svc2 = GenerationService(
+        jen1, max_batch=max_batch, max_wait_ms=100.0,
+        default_seconds=seconds, default_steps=steps, max_queue=4,
+    )
+    burst = 12
+    shed, done = [], []
+
+    def burst_fire(i):
+        try:
+            svc2.submit(f"burst {i}", timeout=600)
+            done.append(i)
+        except ServiceOverloaded:
+            shed.append(i)
+
+    bt = [threading.Thread(target=burst_fire, args=(i,)) for i in range(burst)]
+    t0 = time.time()
+    for t in bt:
+        t.start()
+    for t in bt:
+        t.join()
+    burst_wall = time.time() - t0
+    print(f"overload burst {burst} reqs vs max_queue=4: "
+          f"{len(shed)} shed (503), {len(done)} served, "
+          f"wall={burst_wall:.1f}s", flush=True)
+    svc2.close()
     svc.close()
+
+    out = os.path.join(os.path.dirname(__file__), "SERVING_TPU.md")
+    with open(out, "w") as f:
+        f.write(f"""# Serving — real-TPU load benchmark
+
+Device: {dev.device_kind}. REAL end-to-end path: full-size UNet + T5 text
+encoding + {steps}-step DDIM scan + chunked codec decode behind the
+static-shape micro-batcher (`jen1_tpu/serve.py`), random weights (timing is
+value-independent). Every request is a distinct prompt with service-assigned
+seeds so requests co-batch. The reference has NO serving story at all.
+
+| metric | value |
+|---|---|
+| warm single-request latency ({seconds:.0f} s clip) | {single:.2f} s |
+| {n_req} concurrent requests wall | {wall:.2f} s |
+| throughput | {n_req / wall:.2f} req/s = {n_req * seconds / wall:.1f} audio-s/s/chip |
+| request latency p50 / p95 | {p50:.2f} s / {p95:.2f} s |
+| batches / padded lanes | {svc.stats['batches']} / {svc.stats['padded_lanes']} |
+| overload burst ({burst} reqs, max_queue=4) | {len(shed)} shed with ServiceOverloaded (HTTP 503), {len(done)} served, wall {burst_wall:.1f} s |
+
+Reproduce: `JEN1_SERVE_BENCH_REQS={n_req} JEN1_SERVE_BENCH_STEPS={steps}
+JEN1_SERVE_BENCH_MAXBATCH={max_batch} python benchmarks/serve_bench.py`
+""")
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,7 @@ def mem_stats(dev):
 
 
 def build_state(trainer, model, mc, batch, B, L):
+    from jen1_tpu.train.fused_optim import fused_adamw_init
     from jen1_tpu.train.trainer import TrainState
 
     shapes = jax.eval_shape(
@@ -73,17 +74,29 @@ def build_state(trainer, model, mc, batch, B, L):
         ),
         shapes,
     )
-    return TrainState(
+    state = TrainState(
         params=params,
-        opt_state=trainer.optimizer.init(params),
+        opt_state=(
+            fused_adamw_init(params)
+            if getattr(trainer, "_use_fused", False)
+            else trainer.optimizer.init(params)
+        ),
         step=jnp.zeros((), jnp.int32),
         ema_params=None,
     )
+    # COMMIT the state to the device: uncommitted eager arrays make step 2's
+    # input signature differ from step 1's (committed outputs) and the step
+    # recompiles — ~700 s wasted per point at full size on this tunnel.
+    return jax.tree.map(
+        lambda x: jax.device_put(x, jax.devices()[0]), state
+    )
 
 
-def bench_point(B: int, remat: bool, seconds: float = 10.0):
-    """One (batch, remat) measurement. Runs in-process; a fresh trainer per
-    point (step cache keyed by causal flags is per-trainer)."""
+def bench_point(B: int, remat: bool, seconds: float = 10.0,
+                fused: bool = True):
+    """One (batch, remat, fused-optimizer) measurement. Runs in-process; a
+    fresh trainer per point (step cache keyed by causal flags is
+    per-trainer)."""
     from jen1_tpu.config import Config
     from jen1_tpu.diffusion.gdm import create_gaussian_diffusion
     from jen1_tpu.models.unet import unet_from_model_config
@@ -92,6 +105,7 @@ def bench_point(B: int, remat: bool, seconds: float = 10.0):
     dev = jax.devices()[0]
     cfg = Config()
     cfg.grad_accum_every = 1  # measure the real step, not accumulation no-ops
+    cfg.optimizer_config.fused_adamw = fused
     import dataclasses
 
     cfg.model_config = dataclasses.replace(cfg.model_config, remat=remat)
@@ -149,6 +163,7 @@ def bench_point(B: int, remat: bool, seconds: float = 10.0):
     return {
         "B": B,
         "remat": remat,
+        "fused": fused,
         "params": n_params,
         "compile_s": compile_s,
         "loss0": loss0,
@@ -176,16 +191,19 @@ def main():
     ]
     remat_mode = os.environ.get("JEN1_TRAIN_BENCH_REMAT", "off")
     remats = {"both": [False, True], "on": [True], "off": [False]}[remat_mode]
+    fused_mode = os.environ.get("JEN1_TRAIN_BENCH_FUSED", "on")
+    fuseds = {"both": [True, False], "on": [True], "off": [False]}[fused_mode]
 
     rows = []
-    for remat in remats:
-        for B in batches:
-            print(f"--- B={B} remat={remat}", flush=True)
-            r = bench_point(B, remat)
-            rows.append(r)
-            print(r, flush=True)
-            if "oom" in r:
-                break  # larger batches won't fit either
+    for fused in fuseds:
+        for remat in remats:
+            for B in batches:
+                print(f"--- B={B} remat={remat} fused={fused}", flush=True)
+                r = bench_point(B, remat, fused=fused)
+                rows.append(r)
+                print(r, flush=True)
+                if "oom" in r:
+                    break  # larger batches won't fit either
 
     lines = [
         "# Full-size multi-task train step — real-TPU benchmark (v2)",

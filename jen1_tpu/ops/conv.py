@@ -45,11 +45,18 @@ def conv1d(
     Padding matches the reference Conv1d exactly: total (K-1)*dilation, all on
     the left if causal, else split `pad//2` on each side (note: for even pads
     this is symmetric; the reference ignores its constructor `padding` arg).
+
+    JEN1_CONV_IMPL=dot routes stride-1 convs through K shifted dot_generals
+    instead of lax.conv (an MFU experiment: XLA lowers TPU convs itself, but
+    an explicit matmul decomposition can fuse differently). Identical math;
+    parity-tested in tests/test_ops.py.
     """
     k = kernel.shape[0]
     pad = (k - 1) * dilation
     pads = (pad, 0) if causal else (pad // 2, pad // 2)
     dtype = x.dtype
+    if _conv_impl() == "dot" and stride == 1:
+        return _conv1d_dot(x, kernel, bias, dilation=dilation, pads=pads)
     y = lax.conv_general_dilated(
         x,
         kernel.astype(dtype),
@@ -60,6 +67,36 @@ def conv1d(
         precision=matmul_precision(dtype),
         preferred_element_type=jnp.float32,
     )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def _conv_impl() -> str:
+    import os
+
+    return os.environ.get("JEN1_CONV_IMPL", "xla")
+
+
+def _conv1d_dot(x, kernel, bias, *, dilation: int, pads) -> jnp.ndarray:
+    """Stride-1 conv as K shifted (B*L, Cin) @ (Cin, Cout) matmuls summed in
+    fp32 — each tap is one large MXU-shaped dot_general; no im2col copy."""
+    k, cin, cout = kernel.shape
+    dtype = x.dtype
+    b, l, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), pads, (0, 0)))
+    kern = kernel.astype(dtype)
+    prec = matmul_precision(dtype)
+    y = None
+    for tap in range(k):
+        xs = lax.dynamic_slice_in_dim(xp, tap * dilation, l, axis=1)
+        t = lax.dot_general(
+            xs, kern[tap],
+            (((2,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        y = t if y is None else y + t
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(dtype)

@@ -42,6 +42,7 @@ def jen1():
 
 
 class TestGenerate:
+    @pytest.mark.slow
     def test_text_guided_vdm(self, jen1):
         out = jen1.generate("a beautiful song", seed=1, steps=3, batch_size=1,
                             seconds=1)
@@ -201,6 +202,7 @@ class TestBatchAndMesh:
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestEMAInference:
     def test_use_ema_params(self, jen1, tmp_path):
         """Jen1(use_ema_params=True) samples from the checkpoint's EMA
@@ -249,6 +251,7 @@ class TestEMAInference:
         assert not np.array_equal(out_ema, out_raw)
 
 
+@pytest.mark.slow
 class TestGenerateLong:
     def test_long_form_chained_windows(self, jen1):
         """generate_long chains text_guided + music_cont windows into

@@ -8,6 +8,10 @@ import json
 import os
 import subprocess
 import sys
+import pytest
+
+
+@pytest.mark.slow
 
 
 def test_bench_tiny_mode_emits_json(tmp_path):

@@ -116,6 +116,7 @@ class TestGenerateTracks:
         assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
 
 
+@pytest.mark.slow
 class TestComposerEndToEnd:
     """VERDICT r1 #6: composer as a CAPABILITY — train the track_gen task
     through the real trainer, checkpoint, and generate stems through the

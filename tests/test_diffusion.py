@@ -245,6 +245,8 @@ class TestDPMSolver:
             )(rng)
         return np.asarray(out)
 
+    @pytest.mark.slow
+
     def test_converges_to_ddim_ode_solution(self, tiny_model):
         ref = self._sample(tiny_model, "ddim", sampling=63)  # near-exact ODE
         dpm = self._sample(tiny_model, "dpm++", sampling=16)
@@ -301,6 +303,7 @@ class TestObjectiveCoverage:
         assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 class TestEncoderReuse:
     """Faster-Diffusion encoder propagation in the DDIM scan sampler."""
 

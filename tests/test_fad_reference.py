@@ -23,6 +23,7 @@ def report():
     )
 
 
+@pytest.mark.slow
 class TestFADAgainstReference:
     def test_matched_seed_fad_near_zero(self, report):
         """Identical noise through both frameworks' samplers at one shared

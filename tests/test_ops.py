@@ -57,6 +57,26 @@ class TestConv1d:
         y2 = _np(conv1d(jnp.asarray(x2), jnp.asarray(w), causal=True))
         np.testing.assert_array_equal(y1[:, :10], y2[:, :10])
 
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("kernel,dilation", [(3, 1), (1, 1), (5, 2)])
+    def test_dot_impl_matches_xla(self, monkeypatch, causal, kernel,
+                                  dilation):
+        """JEN1_CONV_IMPL=dot (K shifted dot_generals, the MFU experiment)
+        must be numerically identical to the lax.conv path."""
+        rng = np.random.default_rng(2)
+        B, L, Cin, Cout = 2, 32, 6, 8
+        x = jnp.asarray(rng.normal(size=(B, L, Cin)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(kernel, Cin, Cout)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+        ref = _np(conv1d(x, w, b, dilation=dilation, causal=causal))
+        monkeypatch.setenv("JEN1_CONV_IMPL", "dot")
+        out = _np(conv1d(x, w, b, dilation=dilation, causal=causal))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        # strided convs keep the lax.conv path under the flag
+        s_ref = conv1d(x, w, b, stride=2)
+        assert s_ref.shape[1] == L // 2
+
 
 class TestConvTranspose1d:
     @pytest.mark.parametrize("factor", [2, 4, 5])

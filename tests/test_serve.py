@@ -73,6 +73,7 @@ def service(tiny_jen1):
 
 
 class TestGenerationService:
+    @pytest.mark.slow
     def test_concurrent_requests_coalesce(self, service):
         """3 concurrent same-shape requests ride ONE padded device batch."""
         batches_before = service.stats["batches"]
@@ -275,6 +276,8 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=30)
         assert exc_info.value.code == 400
+
+    @pytest.mark.slow
 
     def test_generate_long_streams_pcm(self, server, tiny_jen1):
         """Chunked long-form endpoint: s16le PCM matching the in-process

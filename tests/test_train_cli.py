@@ -12,6 +12,9 @@ import pytest
 from jen1_tpu.config import tiny_test_config
 from jen1_tpu.train.train import run
 
+# compile-heavy end-to-end module: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 def _write_latents(path, n_files=8, frames=48, dim=8, seed=0):
     os.makedirs(path, exist_ok=True)

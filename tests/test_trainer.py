@@ -77,6 +77,7 @@ class TestTaskMasks:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_on_repeated_batch(self, default_trainer):
         """Fixed step rng -> fixed noise/masks; loss must decrease WITHIN
         each causal-flag variant (the two variants run different noise
@@ -116,6 +117,8 @@ class TestTrainStep:
             assert f"loss_{task}/train" in metrics
         assert float(metrics["grad_norm"]) > 0
 
+    @pytest.mark.slow
+
     def test_grad_accum_delays_update(self):
         cfg, trainer = make_trainer(grad_accum=3)
         batch = make_batch(cfg)
@@ -127,6 +130,8 @@ class TestTrainStep:
         np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
         state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(3), host_rng)
         assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+
+    @pytest.mark.slow
 
     def test_ema_tracks_params(self):
         cfg, trainer = make_trainer(use_ema=True)
@@ -156,6 +161,7 @@ class TestTrainStep:
                                np.random.default_rng(0))
 
 
+@pytest.mark.slow
 class TestMeshDP:
     def test_dp_sharded_step(self):
         from jen1_tpu.parallel.mesh import make_mesh, shard_batch
@@ -278,6 +284,7 @@ class TestNonFiniteGuard:
             np.asarray(jax.tree.leaves(state.params)[0]), p0)
 
 
+@pytest.mark.slow
 class TestFSDP:
     def test_fsdp_shards_and_matches_replicated(self):
         """fsdp=True: every sizable param is dp-sharded (ZeRO-3 memory), the

@@ -111,6 +111,9 @@ def test_grad_flows(setup):
     assert sum(n > 0 for n in norms) > len(norms) * 0.9
 
 
+@pytest.mark.slow
+
+
 def test_remat_matches_plain(setup):
     """remat=True must be a pure memory/FLOPs tradeoff: identical outputs and
     working grads (VERDICT r1 weak #6: the knob used to be ignored)."""
@@ -133,6 +136,9 @@ def test_remat_matches_plain(setup):
     g = jax.jit(jax.grad(loss))(params)
     assert all(np.isfinite(float(jnp.linalg.norm(v)))
                for v in jax.tree.leaves(g))
+
+
+@pytest.mark.slow
 
 
 def test_stft_mode_roundtrip_shapes():

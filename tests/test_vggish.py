@@ -14,6 +14,9 @@ from jen1_tpu.eval.vggish import (
     waveform_to_examples,
 )
 
+# compile-heavy end-to-end module: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 def _torch_vggish():
     """Faithful torch mock of torchvggish's VGG (state-dict key compatible:
