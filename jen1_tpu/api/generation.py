@@ -736,11 +736,17 @@ class Jen1:
 
 
 def save_audio(audio, file_path: str, sample_rate: int = 48_000) -> None:
-    """Save (B, ch, T) / (ch, T) float audio to 16-bit WAV
-    (reference save_audio_tensor, generation.py:194-213)."""
-    from jen1_tpu.data.audio_io import write_wav
-
+    """Save (B, ch, T) / (ch, T) float audio to 16-bit WAV, or lossless
+    FLAC when file_path ends in .flac (reference save_audio_tensor,
+    generation.py:194-213, which is WAV-only via torchaudio)."""
     audio = np.asarray(audio, np.float32)
     if audio.ndim == 3:
         audio = audio[0]
+    if file_path.lower().endswith(".flac"):
+        from jen1_tpu.data.flac_write import write_flac
+
+        write_flac(file_path, audio.T, sample_rate)
+        return
+    from jen1_tpu.data.audio_io import write_wav
+
     write_wav(file_path, audio.T, sample_rate)

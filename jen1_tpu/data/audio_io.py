@@ -66,8 +66,17 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
 def load_audio(
     path: str, start_frame: int = 0, num_frames: Optional[int] = None
 ) -> Tuple[np.ndarray, int]:
-    """Read any supported format: WAV via the native C++ decoder
-    (native/wavio.cpp) when built, else stdlib, else soundfile/torchaudio."""
+    """Read any supported format: WAV/FLAC via the native C++ decoders
+    (native/wavio.cpp, native/flacio.cpp) when built, else stdlib (WAV),
+    else soundfile/torchaudio."""
+    if path.lower().endswith(".flac"):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.flac_available():
+                return native_io.flac_read(path, start_frame, num_frames)
+        except Exception:
+            pass
     if path.lower().endswith(".wav"):
         try:
             from jen1_tpu.data import native_io
@@ -108,7 +117,16 @@ def load_audio(
 
 def get_duration_sec(path: str) -> float:
     """Fast duration probe (reference: dataset/preprocess.py:5-8 loads the
-    whole file; WAV headers make this O(1))."""
+    whole file; WAV/FLAC headers make this O(1))."""
+    if path.lower().endswith(".flac"):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.flac_available():
+                sr, _, frames = native_io.flac_info(path)
+                return frames / sr
+        except Exception:
+            pass
     if path.lower().endswith(".wav"):
         try:
             from jen1_tpu.data import native_io

@@ -1,8 +1,11 @@
-"""ctypes bindings for the native WAV decoder (native/wavio.cpp).
+"""ctypes bindings for the native audio decoders (native/wavio.cpp,
+native/flacio.cpp).
 
-Builds the shared library on first use (g++ is in the image; pybind11 is
+Builds the shared libraries on first use (g++ is in the image; pybind11 is
 not, so the ABI is plain C via ctypes). Falls back gracefully when no
-compiler is available — data/audio_io.py keeps the pure-Python path.
+compiler is available — data/audio_io.py keeps the pure-Python path for WAV
+(FLAC has no pure-Python path; soundfile/torchaudio remain the fallback
+when importable).
 """
 
 from __future__ import annotations
@@ -115,6 +118,93 @@ def wav_read(
     )
     if rc < 0:
         raise IOError(f"jen1_wav_read({path}) failed: {rc}")
+    return out, sr
+
+
+_FLAC_SRC = os.path.join(_REPO_ROOT, "native", "flacio.cpp")
+_FLAC_LIB = os.path.join(_LIB_DIR, "libjen1flacio.so")
+_flac_lib: Optional[ctypes.CDLL] = None
+_flac_failed = False
+
+
+def get_flac_lib() -> Optional[ctypes.CDLL]:
+    global _flac_lib, _flac_failed
+    with _lock:
+        if _flac_lib is not None or _flac_failed:
+            return _flac_lib
+        if not os.path.exists(_FLAC_LIB) or os.path.getmtime(
+            _FLAC_LIB
+        ) < os.path.getmtime(_FLAC_SRC):
+            os.makedirs(_LIB_DIR, exist_ok=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _FLAC_LIB,
+                     _FLAC_SRC],
+                    check=True,
+                    capture_output=True,
+                )
+            except Exception:
+                _flac_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_FLAC_LIB)
+        except OSError:
+            _flac_failed = True
+            return None
+        lib.jen1_flac_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.jen1_flac_info.restype = ctypes.c_int
+        lib.jen1_flac_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.jen1_flac_read.restype = ctypes.c_int64
+        _flac_lib = lib
+        return _flac_lib
+
+
+def flac_available() -> bool:
+    return get_flac_lib() is not None
+
+
+def flac_info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, channels, num_frames); raises on failure."""
+    lib = get_flac_lib()
+    assert lib is not None, "native flacio unavailable"
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.jen1_flac_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch),
+                            ctypes.byref(frames))
+    if rc != 0:
+        raise IOError(f"jen1_flac_info({path}) failed: {rc}")
+    return sr.value, ch.value, frames.value
+
+
+def flac_read(
+    path: str, start_frame: int = 0, num_frames: Optional[int] = None
+) -> Tuple[np.ndarray, int]:
+    """Decode to (frames, channels) float32; zero-padded past EOF."""
+    lib = get_flac_lib()
+    assert lib is not None, "native flacio unavailable"
+    sr, ch, total = flac_info(path)
+    if num_frames is None:
+        num_frames = max(total - start_frame, 0)
+    out = np.empty((num_frames, ch), np.float32)
+    rc = lib.jen1_flac_read(
+        path.encode(),
+        ctypes.c_int64(start_frame),
+        ctypes.c_int64(num_frames),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise IOError(f"jen1_flac_read({path}) failed: {rc}")
     return out, sr
 
 
