@@ -137,7 +137,8 @@ def main():
         "# Pallas flash attention vs XLA attention — real-TPU microbenchmark",
         "",
         f"Device: {dev.device_kind}; q/k/v bf16 (B={B}, H={H}, D={D});"
-        f" per-op time = min-of-10 walls of a {CHAIN}-application on-device"
+        " per-op time = min-of-10 walls of a chained on-device application"
+        " (chain_for(N) applications per dispatch) / chain length"
         " chain / chain length (single-op walls are swamped by ~25 ms of"
         " tunnel dispatch latency). Numerics: max |abs| / |rel| error vs the"
         " fp32-softmax XLA path (|rel| is large only where |out| ~ 0; inputs"

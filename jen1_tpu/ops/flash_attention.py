@@ -100,8 +100,10 @@ def _fwd_kernel(
         l = jnp.maximum(l_sc[0, :], 1e-30)
         o_ref[0] = (acc_sc[:] / l[:, None]).astype(o_ref.dtype)
         # logsumexp per row (padding rows produce NEG_INF + log ~ garbage;
-        # callers slice them off)
-        lse_ref[0] = m_sc[0, :] + jnp.log(l)
+        # callers slice them off). lse is (1, block_q, 1): Mosaic requires
+        # the block's last two dims divisible by (8, 128) OR equal to the
+        # array dims — a trailing singleton satisfies the lane dim exactly.
+        lse_ref[0] = (m_sc[0, :] + jnp.log(l))[:, None]
 
 
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
@@ -114,7 +116,7 @@ def _pick_block(n: int, candidates=(512, 256, 128)) -> int:
 
 
 def _flash_forward_lse(q, k, v, causal: bool):
-    """Returns (o, lse): o (B,H,N,D); lse (B*H, N_pad) fp32."""
+    """Returns (o, lse): o (B,H,N,D); lse (B*H, N_pad, 1) fp32."""
     b, h, n, d = q.shape
     block_q = _pick_block(n)
     block_k = min(block_q, 512)
@@ -147,12 +149,12 @@ def _flash_forward_lse(q, k, v, causal: bool):
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i, j: (bh, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, block_q), jnp.float32),
@@ -189,7 +191,7 @@ def _bwd_dq_kernel(
         k = k_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
         do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0]
+        lse = lse_ref[0]  # (block_q, 1) — broadcasts over the key dim
         delta = delta_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -203,11 +205,11 @@ def _bwd_dq_kernel(
         )
         if causal:
             ok &= (qi * block_q + rows) >= (kb * block_k + cols)
-        p = jnp.where(ok, jnp.exp(s - lse[:, None]), 0.0)
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta[:, None]) * sm_scale
+        ds = p * (dp - delta) * sm_scale
         dq_sc[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -242,7 +244,7 @@ def _bwd_dkv_kernel(
         k = k_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
         do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0]
+        lse = lse_ref[0]  # (block_q, 1) — broadcasts over the key dim
         delta = delta_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -256,14 +258,14 @@ def _bwd_dkv_kernel(
         )
         if causal:
             ok &= (qi * block_q + rows) >= (kb * block_k + cols)
-        p = jnp.where(ok, jnp.exp(s - lse[:, None]), 0.0)
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
         dv_sc[:] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta[:, None]) * sm_scale
+        ds = p * (dp - delta) * sm_scale
         dk_sc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -293,8 +295,11 @@ def _flash_backward(q, k, v, o, lse, g, causal: bool):
     # delta_i = sum_d dO_i O_i — cheap elementwise reduction in XLA;
     # padding rows give 0. lse padding rows hold garbage; the kernels mask
     # every padded KEY column and padded QUERY rows only write padded dq
-    # rows, which are sliced off below.
-    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+    # rows, which are sliced off below. Trailing singleton: see the lse
+    # shape note in _flash_forward_lse (Mosaic block tiling).
+    delta = jnp.sum(
+        gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True
+    )
 
     interp = jax.default_backend() != "tpu"
     common = dict(
@@ -309,8 +314,8 @@ def _flash_backward(q, k, v, o, lse, g, causal: bool):
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
             pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i)),
-            pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i, j: (bh, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
@@ -325,8 +330,8 @@ def _flash_backward(q, k, v, o, lse, g, causal: bool):
             pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
             pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, j, i: (bh, i)),
-            pl.BlockSpec((1, block_q), lambda bh, j, i: (bh, i)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, j, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, j, i: (bh, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
