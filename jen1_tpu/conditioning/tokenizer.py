@@ -40,7 +40,14 @@ class HFTokenizer:
     def __init__(self, model_name_or_path: str):
         from transformers import AutoTokenizer
 
-        self._tok = AutoTokenizer.from_pretrained(model_name_or_path)
+        try:
+            # Local cache / path first: on a no-egress host the network
+            # attempt stalls through 5 hub retries (~60 s) before failing.
+            self._tok = AutoTokenizer.from_pretrained(
+                model_name_or_path, local_files_only=True
+            )
+        except OSError:
+            self._tok = AutoTokenizer.from_pretrained(model_name_or_path)
         self.vocab_size = self._tok.vocab_size
 
     def __call__(
