@@ -47,6 +47,15 @@ class HFTokenizer:
                 model_name_or_path, local_files_only=True
             )
         except OSError:
+            import socket
+
+            try:  # fail fast when the hub is unreachable (no-egress host)
+                socket.getaddrinfo("huggingface.co", 443)
+            except OSError as e:
+                raise OSError(
+                    f"no local files for {model_name_or_path!r} and "
+                    f"huggingface.co is unreachable: {e}"
+                ) from e
             self._tok = AutoTokenizer.from_pretrained(model_name_or_path)
         self.vocab_size = self._tok.vocab_size
 
