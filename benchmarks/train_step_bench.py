@@ -138,6 +138,8 @@ def bench_point(B: int, remat: bool, seconds: float = 10.0,
         state, m = trainer.train_step(state, batch, step_rng, host_rng)
         loss0 = float(m["loss/train"])  # fetch = honest completion barrier
     except Exception as e:  # noqa: BLE001 — OOM at large batch is a result
+        msg = str(e).replace("\n", " ")[:400]
+        print(f"ERROR at B={B}: {type(e).__name__}: {msg}", flush=True)
         return {"B": B, "remat": remat, "oom": f"{type(e).__name__}"}
     compile_s = time.time() - t0
 
