@@ -11,6 +11,13 @@ Reports: warm single-request latency, then N_REQ concurrent requests ->
 wall, requests/s, audio-s/s/chip, p50/p95 request latency, batch fill.
 
 Run: python benchmarks/serve_bench.py   [JEN1_SERVE_BENCH_REQS=16]
+
+Compile economics (measured round 3, axon tunnel): the service's generate
+program is NOT the same XLA program bench.py compiles — even at
+max_batch=1 the warm-up compiled fresh for >12 min (bench.py's B=1 scan
+was cache-hot the same day). Budget >=20 min of warm-up per max_batch
+value on a cold cache before any numbers appear; the doc is only written
+at the very end. Consider running this first in a session, not last.
 """
 
 from __future__ import annotations
