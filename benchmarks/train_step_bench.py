@@ -62,7 +62,7 @@ def build_state(trainer, model, mc, batch, B, L):
         lambda r: model.init(
             r, batch["latents"], jnp.zeros((B,), jnp.float32),
             embedding=batch["text_emb"], embedding_mask=batch["text_mask"],
-            channels_list=[jnp.zeros((B, L, mc.in_channels + 1))],
+            channels_list=[jnp.zeros((B, L, mc.context_channels[0]))],
             causal=False,
         ),
         jax.random.PRNGKey(0),
