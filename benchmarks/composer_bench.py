@@ -13,6 +13,9 @@ Writes benchmarks/COMPOSER_TPU.md.
 
 Run: python benchmarks/composer_bench.py
      JEN1_COMPOSER_TRACKS=2,4 JEN1_COMPOSER_STEPS=100
+     JEN1_COMPOSER_SKIP_TRAIN=1  # gen-only: skips the >25-min train-step
+                                 # compile (the only way to finish on hosts
+                                 # whose session cap is below that wall)
 """
 
 from __future__ import annotations
@@ -117,8 +120,11 @@ def bench_tracks(n_tracks: int, steps: int):
     params = jax.device_put(
         jax.tree.map(lambda s: jnp.asarray(
             host.normal(0, 0.02, s.shape).astype(s.dtype)), shapes), dev)
+    # Count only the 'params' collection, mirroring the train path's
+    # state.params count (the full init output would silently diverge if
+    # the model ever gains a non-param collection, e.g. batch_stats).
     row.setdefault("params", sum(
-        int(np.prod(s.shape)) for s in jax.tree.leaves(shapes)))
+        int(np.prod(s.shape)) for s in jax.tree.leaves(shapes["params"])))
 
     def model_fn(x, t, **kw):  # bench.py's proven pattern
         kw["embedding"] = kw["embedding"].astype(jnp.bfloat16)
@@ -208,9 +214,12 @@ def main():
             "without `JEN1_COMPOSER_SKIP_TRAIN=1` with a >30 min budget "
             "for the train column.",
         ]
+    skip_prefix = ("JEN1_COMPOSER_SKIP_TRAIN=1 "
+                   if any("train_skipped" in r for r in rows) else "")
     lines += [
         "",
-        "Reproduce: `JEN1_COMPOSER_TRACKS=" + ",".join(map(str, tracks))
+        "Reproduce: `" + skip_prefix
+        + "JEN1_COMPOSER_TRACKS=" + ",".join(map(str, tracks))
         + f" JEN1_COMPOSER_STEPS={steps}"
         " python benchmarks/composer_bench.py`",
     ]
