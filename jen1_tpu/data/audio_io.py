@@ -66,9 +66,17 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
 def load_audio(
     path: str, start_frame: int = 0, num_frames: Optional[int] = None
 ) -> Tuple[np.ndarray, int]:
-    """Read any supported format: WAV/FLAC via the native C++ decoders
-    (native/wavio.cpp, native/flacio.cpp) when built, else stdlib (WAV),
-    else soundfile/torchaudio."""
+    """Read any supported format: WAV/FLAC/MP3 via the native C++ decoders
+    (native/wavio.cpp, native/flacio.cpp, native/mp3io.cpp) when built, else
+    stdlib (WAV), else soundfile/torchaudio."""
+    if path.lower().endswith(".mp3"):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.mp3_available():
+                return native_io.mp3_read(path, start_frame, num_frames)
+        except Exception:
+            pass
     if path.lower().endswith(".flac"):
         try:
             from jen1_tpu.data import native_io
@@ -117,7 +125,16 @@ def load_audio(
 
 def get_duration_sec(path: str) -> float:
     """Fast duration probe (reference: dataset/preprocess.py:5-8 loads the
-    whole file; WAV/FLAC headers make this O(1))."""
+    whole file; WAV/FLAC headers make this O(1), MP3 needs one index scan)."""
+    if path.lower().endswith(".mp3"):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.mp3_available():
+                sr, _, frames = native_io.mp3_info(path)
+                return frames / sr
+        except Exception:
+            pass
     if path.lower().endswith(".flac"):
         try:
             from jen1_tpu.data import native_io

@@ -208,6 +208,102 @@ def flac_read(
     return out, sr
 
 
+_MP3_SRC = os.path.join(_REPO_ROOT, "native", "mp3io.cpp")
+_MP3_LIB = os.path.join(_LIB_DIR, "libjen1mp3io.so")
+_mp3_lib: Optional[ctypes.CDLL] = None
+_mp3_failed = False
+
+
+def get_mp3_lib() -> Optional[ctypes.CDLL]:
+    """mp3io shim: decodes through the system libmpg123 (dlopen'ed at
+    runtime by native/mp3io.cpp — no dev headers or link-time dep). Returns
+    None when g++ or libmpg123 is unavailable."""
+    global _mp3_lib, _mp3_failed
+    with _lock:
+        if _mp3_lib is not None or _mp3_failed:
+            return _mp3_lib
+        if not os.path.exists(_MP3_LIB) or os.path.getmtime(
+            _MP3_LIB
+        ) < os.path.getmtime(_MP3_SRC):
+            os.makedirs(_LIB_DIR, exist_ok=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _MP3_LIB,
+                     _MP3_SRC, "-ldl"],
+                    check=True,
+                    capture_output=True,
+                )
+            except Exception:
+                _mp3_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_MP3_LIB)
+        except OSError:
+            _mp3_failed = True
+            return None
+        lib.jen1_mp3_available.argtypes = []
+        lib.jen1_mp3_available.restype = ctypes.c_int
+        lib.jen1_mp3_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.jen1_mp3_info.restype = ctypes.c_int
+        lib.jen1_mp3_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.jen1_mp3_read.restype = ctypes.c_int64
+        if lib.jen1_mp3_available() != 1:  # libmpg123 missing at runtime
+            _mp3_failed = True
+            return None
+        _mp3_lib = lib
+        return _mp3_lib
+
+
+def mp3_available() -> bool:
+    return get_mp3_lib() is not None
+
+
+def mp3_info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, channels, num_frames); raises on failure."""
+    lib = get_mp3_lib()
+    assert lib is not None, "native mp3io unavailable"
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.jen1_mp3_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch),
+                           ctypes.byref(frames))
+    if rc != 0:
+        raise IOError(f"jen1_mp3_info({path}) failed: {rc}")
+    return sr.value, ch.value, frames.value
+
+
+def mp3_read(
+    path: str, start_frame: int = 0, num_frames: Optional[int] = None
+) -> Tuple[np.ndarray, int]:
+    """Decode to (frames, channels) float32; zero-padded past EOF.
+    Sample-accurate seeks via mpg123's scanned frame index."""
+    lib = get_mp3_lib()
+    assert lib is not None, "native mp3io unavailable"
+    sr, ch, total = mp3_info(path)
+    if num_frames is None:
+        num_frames = max(total - start_frame, 0)
+    out = np.empty((num_frames, ch), np.float32)
+    rc = lib.jen1_mp3_read(
+        path.encode(),
+        ctypes.c_int64(start_frame),
+        ctypes.c_int64(num_frames),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise IOError(f"jen1_mp3_read({path}) failed: {rc}")
+    return out, sr
+
+
 def wav_read_batch(
     paths: Sequence[str], starts: Sequence[int], frames: int, channels: int
 ) -> np.ndarray:
