@@ -87,11 +87,15 @@ class EncodecModel:
         )
         if params is None:
             seg = int(config.sample_rate * 0.1)
-            enc_params = self.encoder.init(
+            # jit(init): ONE compiled program per module instead of eager
+            # per-op dispatch (hundreds of tiny executables through the
+            # tunnel — the bulk of the measured 234 s Jen1 cold build), and
+            # the init executables persist in the compile cache.
+            enc_params = jax.jit(self.encoder.init)(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, seg, config.channels), jnp.float32),
             )
-            dec_params = self.decoder.init(
+            dec_params = jax.jit(self.decoder.init)(
                 jax.random.PRNGKey(seed + 1),
                 jnp.zeros(
                     (1, seg // config.hop_length, config.dimension), jnp.float32

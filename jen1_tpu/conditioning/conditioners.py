@@ -88,14 +88,17 @@ class T5Conditioner(Conditioner):
             state_dict = _load_torch_state_dict(weights_path)
             enc_params = convert_hf_t5_encoder(state_dict, cfg)
         else:
-            enc_params = self.encoder.init(
+            # jit(init): one compiled program (persisted in the compile
+            # cache) instead of eager per-op dispatch — a T5-large eager
+            # init is minutes of tiny executables through the tunnel.
+            enc_params = jax.jit(self.encoder.init)(
                 jax.random.PRNGKey(seed), dummy_ids, dummy_mask
             )
 
         self.use_proj = cfg.d_model != output_dim or project_out
         if self.use_proj:
             self.proj = Linear(output_dim)
-            proj_params = self.proj.init(
+            proj_params = jax.jit(self.proj.init)(
                 jax.random.PRNGKey(seed + 1), jnp.zeros((1, cfg.d_model))
             )
         else:
