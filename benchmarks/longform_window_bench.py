@@ -62,18 +62,22 @@ def main():
     emb = jnp.zeros((B, M, E), jnp.bfloat16)
     mask = jnp.ones((B, M), bool)
     concat = jnp.zeros((B, L, C + 1), jnp.bfloat16)
-    shapes = jax.eval_shape(
-        lambda r: model.init(r, x, jnp.zeros((B,), jnp.float32),
-                             embedding=emb, embedding_mask=mask,
-                             channels_list=[concat], causal=False),
-        jax.random.PRNGKey(0),
+    # bench.py's pattern: disk-cached shape tree + ONE jitted zeros program
+    # (per-leaf host RNG + per-leaf device_put of 303M params costs minutes
+    # through the tunnel; sampler TIMING is value-independent — XLA
+    # specializes on shapes, not values).
+    from jen1_tpu.utils.shape_cache import cached_shapes, zeros_like_shapes
+
+    shapes = cached_shapes(
+        f"longform-unet-init|{mc!r}|B{B} L{L} M{M} E{E} C{C}|concat+1",
+        lambda: jax.eval_shape(
+            lambda r: model.init(r, x, jnp.zeros((B,), jnp.float32),
+                                 embedding=emb, embedding_mask=mask,
+                                 channels_list=[concat], causal=False),
+            jax.random.PRNGKey(0),
+        ),
     )
-    host = np.random.default_rng(0)
-    params = jax.tree.map(
-        lambda s: jnp.asarray(host.normal(0, 0.02, s.shape).astype(s.dtype)),
-        shapes,
-    )
-    params = jax.device_put(params, dev)
+    params = zeros_like_shapes(shapes)
 
     def model_fn(x, t, **kw):  # bench.py's proven pattern
         kw["embedding"] = kw["embedding"].astype(jnp.bfloat16)

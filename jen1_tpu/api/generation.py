@@ -351,11 +351,26 @@ class Jen1:
         # path for inpainting/continuation and skipped only for the
         # reference-exact segmented-latent distribution.
         if self.config.codec_segmented_latents:
-            init_emb = self.codec.encode_latent_segmented(jnp.asarray(init_audio))
+            enc_fn = self.codec.encode_latent_segmented
         elif encode_mode == "chunked":
-            init_emb = self.codec.encode_latent_chunked(jnp.asarray(init_audio))
+            enc_fn = self.codec.encode_latent_chunked
         else:  # "whole": byte-matches the reference's whole-clip get_emb
-            init_emb = self.codec.encode_latent(jnp.asarray(init_audio))
+            enc_fn = self.codec.encode_latent
+        if no_init and task == "text_guided":
+            # masked_input is identically zero here: the text_guided mask
+            # zeroes the whole clip (reference generation.py:97-110
+            # multiplies get_emb by that mask), so encoding the synthetic
+            # zeros waveform is dead work — and in serving it is a whole
+            # extra warm-up compile (the chunked-encoder program) plus
+            # per-request encoder walls. Trace the same encode path with
+            # eval_shape (pure host-side, no compile) for the latent grid
+            # and use literal zeros.
+            sds = jax.eval_shape(
+                enc_fn, jax.ShapeDtypeStruct(init_audio.shape, jnp.float32)
+            )
+            init_emb = jnp.zeros(sds.shape, sds.dtype)
+        else:
+            init_emb = enc_fn(jnp.asarray(init_audio))
         latent_len = init_emb.shape[1]
         latent_dim = init_emb.shape[2]
 

@@ -1,5 +1,6 @@
 """End-to-end Jen1.generate API tests (tiny model + tiny codec, hermetic)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -53,6 +54,28 @@ class TestGenerate:
         out = jen1.generate("a beautiful song", seed=2, steps=4, batch_size=2,
                             seconds=1, use_gdm=True)
         assert out.shape == (2, 2, 1600)
+        assert np.isfinite(out).all()
+
+    def test_text_guided_skips_codec_encode(self, jen1, monkeypatch):
+        """text_guided with no init audio must not run the codec encoder:
+        masked_input is identically zero (the whole-clip mask), so generate
+        derives the latent grid via eval_shape and uses literal zeros — in
+        serving this removes a whole warm-up compile. The encode path must
+        still be reachable for init-audio tasks (other tests cover it)."""
+        orig = jen1.codec._encode_jit
+
+        def guard(p, a):
+            # eval_shape legitimately traces through here with abstract
+            # values; only CONCRETE audio means real encoder device work.
+            if not isinstance(a, jax.core.Tracer):
+                raise AssertionError(
+                    "codec encode must not execute for text_guided")
+            return orig(p, a)
+
+        monkeypatch.setattr(jen1.codec, "_encode_jit", guard)
+        out = jen1.generate("quiet strings", seed=11, steps=3, batch_size=1,
+                            seconds=1, use_gdm=True)
+        assert out.shape == (1, 2, 1600)
         assert np.isfinite(out).all()
 
     def test_latent_only_output(self, jen1):
