@@ -46,6 +46,9 @@ def main():
     steps = int(os.environ.get("JEN1_SERVE_BENCH_STEPS", "100"))
     seconds = float(os.environ.get("JEN1_SERVE_BENCH_SECONDS", "30"))
     max_batch = int(os.environ.get("JEN1_SERVE_BENCH_MAXBATCH", "4"))
+    # 'stepwise' is the fallback for hosts whose remote-compile tunnel drops
+    # the whole-loop scan program (measured round 4: >2000 s -> Broken pipe).
+    sampler_mode = os.environ.get("JEN1_SERVE_BENCH_SAMPLER", "scan")
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} n_req={n_req} steps={steps} "
@@ -58,7 +61,7 @@ def main():
     svc = GenerationService(
         jen1, max_batch=max_batch, max_wait_ms=100.0,
         default_seconds=seconds, default_steps=steps,
-        max_queue=max(32, 2 * n_req),
+        max_queue=max(32, 2 * n_req), sampler_mode=sampler_mode,
     )
 
     # Warm both the max_batch graph (a full batch) and measure a single
@@ -121,6 +124,7 @@ def main():
     svc2 = GenerationService(
         jen1, max_batch=max_batch, max_wait_ms=100.0,
         default_seconds=seconds, default_steps=steps, max_queue=4,
+        sampler_mode=sampler_mode,
     )
     burst = 12
     shed, done = [], []
@@ -150,10 +154,11 @@ def main():
         f.write(f"""# Serving — real-TPU load benchmark
 
 Device: {dev.device_kind}. REAL end-to-end path: full-size UNet + T5 text
-encoding + {steps}-step DDIM scan + chunked codec decode behind the
-static-shape micro-batcher (`jen1_tpu/serve.py`), random weights (timing is
-value-independent). Every request is a distinct prompt with service-assigned
-seeds so requests co-batch. The reference has NO serving story at all.
+encoding + {steps}-step DDIM sampler (mode: {sampler_mode}) + chunked codec
+decode behind the static-shape micro-batcher (`jen1_tpu/serve.py`), random
+weights (timing is value-independent). Every request is a distinct prompt
+with service-assigned seeds so requests co-batch. The reference has NO
+serving story at all.
 
 | metric | value |
 |---|---|
@@ -165,7 +170,8 @@ seeds so requests co-batch. The reference has NO serving story at all.
 | overload burst ({burst} reqs, max_queue=4) | {len(shed)} shed with ServiceOverloaded (HTTP 503), {len(done)} served, wall {burst_wall:.1f} s |
 
 Reproduce: `JEN1_SERVE_BENCH_REQS={n_req} JEN1_SERVE_BENCH_STEPS={steps}
-JEN1_SERVE_BENCH_MAXBATCH={max_batch} python benchmarks/serve_bench.py`
+JEN1_SERVE_BENCH_MAXBATCH={max_batch} JEN1_SERVE_BENCH_SAMPLER={sampler_mode}
+python benchmarks/serve_bench.py`
 """)
     print(f"wrote {out}", flush=True)
 

@@ -453,28 +453,35 @@ class Jen1:
         step_kw = {} if use_gdm else {"step": steps}
         if encoder_reuse > 1:
             step_kw["encoder_reuse"] = int(encoder_reuse)
-        if sampler_mode == "dpm++":
-            sample_fn = jax.jit(
-                lambda r, c, i: diffusion.sample(
-                    model_fn, shape, c, r, causal=causal, init_data=i,
-                    mode="dpm++", **step_kw,
-                ),
-                compiler_options=compiler_options or None,
-            )
-            latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
-        elif sampler_mode == "stepwise":
+        if sampler_mode == "stepwise":
             latents = diffusion.sample(
                 model_fn, shape, conditioning, jax.random.fold_in(rng, 2),
                 causal=causal, init_data=init_data, mode="stepwise",
                 compiler_options=compiler_options or None, **step_kw,
             )
         else:
-            sample_fn = jax.jit(
-                lambda r, c, i: diffusion.sample(
-                    model_fn, shape, c, r, causal=causal, init_data=i, **step_kw
-                ),
-                compiler_options=compiler_options or None,
+            # Memoize the jitted sampler across generate() calls: a fresh
+            # jax.jit(lambda ...) per call would re-trace + re-lower the
+            # full-size UNet scan on EVERY request (minutes of host time on
+            # a 1-core host, even when the executable itself is
+            # persistent-cache warm) — fatal for serving throughput, where
+            # every request lands here with identical static settings.
+            cache_key = (
+                sampler_mode, steps, use_gdm, causal, shape,
+                encoder_reuse, id(params),
+                tuple(sorted((compiler_options or {}).items())),
             )
+            sample_fn = self._sample_cache.get(cache_key)
+            if sample_fn is None:
+                mode_kw = {"mode": "dpm++"} if sampler_mode == "dpm++" else {}
+                sample_fn = jax.jit(
+                    lambda r, c, i: diffusion.sample(
+                        model_fn, shape, c, r, causal=causal, init_data=i,
+                        **mode_kw, **step_kw,
+                    ),
+                    compiler_options=compiler_options or None,
+                )
+                self._sample_cache[cache_key] = sample_fn
             latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
 
         if not decode:

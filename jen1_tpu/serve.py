@@ -105,6 +105,7 @@ class GenerationService:
         default_seconds: float = 30.0,
         default_steps: int = 100,
         max_queue: int = 32,
+        sampler_mode: str = "scan",
     ):
         self.jen1 = jen1
         self.max_batch = int(max_batch)
@@ -112,6 +113,12 @@ class GenerationService:
         self.default_seconds = default_seconds
         self.default_steps = default_steps
         self.max_queue = int(max_queue)
+        # 'scan' = whole sampling loop in one XLA program (lowest latency
+        # once compiled); 'stepwise' = one jitted step + host loop — the
+        # fallback for hosts whose compile service cannot land the whole-loop
+        # program (e.g. remote-compile tunnels with a hard request timeout);
+        # 'dpm++' = DPM-Solver++(2M) scan (fewer model calls per clip).
+        self.sampler_mode = str(sampler_mode)
         self.stats: Dict[str, Any] = {
             "requests": 0, "batches": 0, "padded_lanes": 0, "errors": 0,
             "rejected": 0, "streams": 0, "busy": False,
@@ -359,6 +366,7 @@ class GenerationService:
             batch_size=self.max_batch,
             seconds=first.seconds,
             use_gdm=first.use_gdm,
+            sampler_mode=self.sampler_mode,
         )  # (max_batch, ch, T)
         audio = np.asarray(audio)
         self.stats["batches"] += 1
@@ -542,10 +550,12 @@ def serve(
     max_batch: int = 4,
     max_wait_ms: float = 200.0,
     max_queue: int = 32,
+    sampler_mode: str = "scan",
 ) -> ThreadingHTTPServer:
     """Build (but do not run) the HTTP server; call .serve_forever()."""
     service = GenerationService(jen1, max_batch=max_batch,
-                                max_wait_ms=max_wait_ms, max_queue=max_queue)
+                                max_wait_ms=max_wait_ms, max_queue=max_queue,
+                                sampler_mode=sampler_mode)
     httpd = ThreadingHTTPServer(
         (host, port), make_handler(service, jen1.sample_rate)
     )
@@ -569,6 +579,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--max-wait-ms", type=float, default=200.0)
     p.add_argument("--max-queue", type=int, default=32,
                    help="admission bound; beyond it requests get 503")
+    p.add_argument("--sampler-mode", default="scan",
+                   choices=("scan", "stepwise", "dpm++"),
+                   help="'stepwise' for hosts whose compile service cannot "
+                        "land the whole-loop scan program")
     args = p.parse_args(argv)
 
     enable_compile_cache()
@@ -577,7 +591,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     httpd = serve(
         jen1, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_queue=args.max_queue,
+        max_queue=args.max_queue, sampler_mode=args.sampler_mode,
     )
     print(f"jen1-serve listening on {args.host}:{httpd.server_address[1]}")
     try:

@@ -36,9 +36,10 @@ class FakeJen1:
         self.calls = []
 
     def generate(self, prompts, seed=-1, steps=100, batch_size=1,
-                 seconds=30.0, use_gdm=False):
+                 seconds=30.0, use_gdm=False, sampler_mode="scan"):
         time.sleep(self.delay)
-        self.calls.append({"prompts": list(prompts), "seed": seed})
+        self.calls.append({"prompts": list(prompts), "seed": seed,
+                           "sampler_mode": sampler_mode})
         t = int(seconds * self.sample_rate)
         audio = np.zeros((batch_size, 2, t), np.float32)
         audio += float(seed)
