@@ -12,12 +12,14 @@ wall, requests/s, audio-s/s/chip, p50/p95 request latency, batch fill.
 
 Run: python benchmarks/serve_bench.py   [JEN1_SERVE_BENCH_REQS=16]
 
-Compile economics (measured round 3, axon tunnel): the service's generate
-program is NOT the same XLA program bench.py compiles — even at
-max_batch=1 the warm-up compiled fresh for >12 min (bench.py's B=1 scan
-was cache-hot the same day). Budget >=20 min of warm-up per max_batch
-value on a cold cache before any numbers appear; the doc is only written
-at the very end. Consider running this first in a session, not last.
+Compile economics (measured rounds 3-4, axon tunnel): the r3 ">12 min
+warm-up" was the VDM scan — generate()'s default diffusion (use_gdm=False)
+— whose whole-loop program exceeds the tunnel's ~27-33 min compile limit
+with EITHER rng impl (threefry AND rbg both died with `remote_compile:
+Broken pipe`). The service now defaults to the GDM DDIM scan
+(default_use_gdm=True), the same ~200 s compile class bench.py proves
+every round. JEN1_SERVE_BENCH_GDM=0 restores the VDM default (expect the
+wall); JEN1_SERVE_BENCH_SAMPLER=stepwise is the no-big-program fallback.
 """
 
 from __future__ import annotations
@@ -49,6 +51,8 @@ def main():
     # 'stepwise' is the fallback for hosts whose remote-compile tunnel drops
     # the whole-loop scan program (measured round 4: >2000 s -> Broken pipe).
     sampler_mode = os.environ.get("JEN1_SERVE_BENCH_SAMPLER", "scan")
+    use_gdm = os.environ.get("JEN1_SERVE_BENCH_GDM", "1") == "1"
+    rng_impl = os.environ.get("JEN1_SERVE_BENCH_RNG", "rbg")
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} n_req={n_req} steps={steps} "
@@ -62,6 +66,7 @@ def main():
         jen1, max_batch=max_batch, max_wait_ms=100.0,
         default_seconds=seconds, default_steps=steps,
         max_queue=max(32, 2 * n_req), sampler_mode=sampler_mode,
+        default_use_gdm=use_gdm, rng_impl=rng_impl,
     )
 
     # Warm both the max_batch graph (a full batch) and measure a single
@@ -124,7 +129,8 @@ def main():
     svc2 = GenerationService(
         jen1, max_batch=max_batch, max_wait_ms=100.0,
         default_seconds=seconds, default_steps=steps, max_queue=4,
-        sampler_mode=sampler_mode,
+        sampler_mode=sampler_mode, default_use_gdm=use_gdm,
+        rng_impl=rng_impl,
     )
     burst = 12
     shed, done = [], []
@@ -154,11 +160,12 @@ def main():
         f.write(f"""# Serving — real-TPU load benchmark
 
 Device: {dev.device_kind}. REAL end-to-end path: full-size UNet + T5 text
-encoding + {steps}-step DDIM sampler (mode: {sampler_mode}) + chunked codec
-decode behind the static-shape micro-batcher (`jen1_tpu/serve.py`), random
-weights (timing is value-independent). Every request is a distinct prompt
-with service-assigned seeds so requests co-batch. The reference has NO
-serving story at all.
+encoding + {steps}-step {'GDM DDIM' if use_gdm else 'VDM'} sampler (mode:
+{sampler_mode}, rng: {rng_impl}) + chunked codec decode behind the
+static-shape micro-batcher (`jen1_tpu/serve.py`), random weights (timing is
+value-independent). Every request is a distinct prompt with
+service-assigned seeds so requests co-batch. The reference has NO serving
+story at all.
 
 | metric | value |
 |---|---|
@@ -171,6 +178,7 @@ serving story at all.
 
 Reproduce: `JEN1_SERVE_BENCH_REQS={n_req} JEN1_SERVE_BENCH_STEPS={steps}
 JEN1_SERVE_BENCH_MAXBATCH={max_batch} JEN1_SERVE_BENCH_SAMPLER={sampler_mode}
+JEN1_SERVE_BENCH_GDM={1 if use_gdm else 0} JEN1_SERVE_BENCH_RNG={rng_impl}
 python benchmarks/serve_bench.py`
 """)
     print(f"wrote {out}", flush=True)

@@ -11,7 +11,11 @@ serve_bench runs fast-forward past it.
 
 Run: timeout 3500 python benchmarks/serve_warmup_probe.py
 Env: JEN1_PROBE_RNG=threefry2x32|rbg (default threefry2x32 = generate()'s
-     default, the serving path as shipped), JEN1_PROBE_STEPS, JEN1_PROBE_SECONDS.
+     default, the serving path as shipped), JEN1_PROBE_GDM=1 (use the GDM
+     DDIM sampler — bench.py's proven ~200 s compile class — instead of
+     generate()'s default VDM, whose scan program measured >10 min to
+     compile on this host with EITHER rng impl), JEN1_PROBE_BATCH,
+     JEN1_PROBE_STEPS, JEN1_PROBE_SECONDS.
 """
 
 from __future__ import annotations
@@ -37,8 +41,11 @@ def main():
     steps = int(os.environ.get("JEN1_PROBE_STEPS", "100"))
     seconds = float(os.environ.get("JEN1_PROBE_SECONDS", "30"))
     rng_impl = os.environ.get("JEN1_PROBE_RNG", "threefry2x32")
+    use_gdm = os.environ.get("JEN1_PROBE_GDM") == "1"
+    batch = int(os.environ.get("JEN1_PROBE_BATCH", "1"))
     print(f"device={jax.devices()[0].device_kind} steps={steps} "
-          f"seconds={seconds} rng_impl={rng_impl}", flush=True)
+          f"seconds={seconds} rng_impl={rng_impl} use_gdm={use_gdm} "
+          f"B={batch}", flush=True)
 
     t0 = time.time()
     jen1 = Jen1(ckpt_path=None, config=Config())
@@ -56,7 +63,8 @@ def main():
     t0 = time.time()
     lat = jen1.generate(
         "warm jazz with a slow beat", steps=steps, seconds=seconds,
-        seed=7, decode=False, rng_impl=rng_impl,
+        seed=7, decode=False, rng_impl=rng_impl, use_gdm=use_gdm,
+        batch_size=batch,
     )
     print(f"[phase sampler] {steps}-step scan B=1 (decode=False): "
           f"{time.time() - t0:.0f}s shape={lat.shape}", flush=True)
@@ -65,7 +73,7 @@ def main():
     t0 = time.time()
     audio = jen1.generate(
         "warm jazz with a slow beat", steps=steps, seconds=seconds,
-        seed=7, rng_impl=rng_impl,
+        seed=7, rng_impl=rng_impl, use_gdm=use_gdm, batch_size=batch,
     )
     print(f"[phase decode] full generate: {time.time() - t0:.0f}s "
           f"shape={audio.shape}", flush=True)
@@ -73,7 +81,8 @@ def main():
     # Phase 4: warm repeat — the serving steady state.
     t0 = time.time()
     jen1.generate("another prompt entirely", steps=steps, seconds=seconds,
-                  seed=8, rng_impl=rng_impl)
+                  seed=8, rng_impl=rng_impl, use_gdm=use_gdm,
+                  batch_size=batch)
     print(f"[phase warm] warm repeat: {time.time() - t0:.2f}s", flush=True)
 
 

@@ -106,6 +106,8 @@ class GenerationService:
         default_steps: int = 100,
         max_queue: int = 32,
         sampler_mode: str = "scan",
+        default_use_gdm: bool = True,
+        rng_impl: str = "rbg",
     ):
         self.jen1 = jen1
         self.max_batch = int(max_batch)
@@ -119,6 +121,17 @@ class GenerationService:
         # program (e.g. remote-compile tunnels with a hard request timeout);
         # 'dpm++' = DPM-Solver++(2M) scan (fewer model calls per clip).
         self.sampler_mode = str(sampler_mode)
+        # The SERVICE default diffusion is GDM DDIM — generate()'s own
+        # default is VDM for reference signature parity, but the VDM scan
+        # program measured >10 min to compile on a tunneled v5e host with
+        # either rng impl, vs ~200 s for the GDM DDIM scan (the bench-proven
+        # flagship program class). Per-request use_gdm still overrides.
+        self.default_use_gdm = bool(default_use_gdm)
+        # Serving draws sampler noise from the TPU hardware RNG ('rbg'):
+        # same iid N(0,1) stream, 3x cheaper keygen per step than threefry
+        # (benchmarks/b1_math_slope.py). Seeds remain reproducible WITHIN an
+        # impl; cross-impl seed streams differ (generate() docstring).
+        self.rng_impl = str(rng_impl)
         self.stats: Dict[str, Any] = {
             "requests": 0, "batches": 0, "padded_lanes": 0, "errors": 0,
             "rejected": 0, "streams": 0, "busy": False,
@@ -163,7 +176,7 @@ class GenerationService:
         seconds: Optional[float] = None,
         steps: Optional[int] = None,
         seed: int = -1,
-        use_gdm: bool = False,
+        use_gdm: Optional[bool] = None,
         timeout: Optional[float] = None,
     ) -> np.ndarray:
         """Blocking: returns (channels, samples) float32. Raises RuntimeError
@@ -190,7 +203,8 @@ class GenerationService:
             seconds=float(seconds if seconds is not None else self.default_seconds),
             steps=int(steps if steps is not None else self.default_steps),
             seed=int(seed),
-            use_gdm=bool(use_gdm),
+            use_gdm=bool(use_gdm if use_gdm is not None
+                         else self.default_use_gdm),
         )
         self.stats["requests"] += 1
         self._queue.put(req)
@@ -213,7 +227,7 @@ class GenerationService:
         context_seconds: Optional[float] = None,
         steps: Optional[int] = None,
         seed: int = -1,
-        use_gdm: bool = False,
+        use_gdm: Optional[bool] = None,
     ):
         """Long-form streaming: yields (channels, n_new) float32 chunks as
         each window completes (Jen1.generate_long_stream). The device lock is
@@ -233,7 +247,11 @@ class GenerationService:
             window_seconds=window, context_seconds=ctx,
             seed=int(seed),
             steps=int(steps if steps is not None else self.default_steps),
-            batch_size=1, use_gdm=bool(use_gdm),
+            batch_size=1,
+            use_gdm=bool(use_gdm if use_gdm is not None
+                         else self.default_use_gdm),
+            sampler_mode=self.sampler_mode,
+            rng_impl=self.rng_impl,
         )
         it = iter(gen)
         while True:
@@ -367,6 +385,7 @@ class GenerationService:
             seconds=first.seconds,
             use_gdm=first.use_gdm,
             sampler_mode=self.sampler_mode,
+            rng_impl=self.rng_impl,
         )  # (max_batch, ch, T)
         audio = np.asarray(audio)
         self.stats["batches"] += 1
@@ -444,7 +463,7 @@ def make_handler(service: GenerationService, sample_rate: int):
                     seconds=payload.get("seconds"),
                     steps=payload.get("steps"),
                     seed=int(payload.get("seed", -1)),
-                    use_gdm=bool(payload.get("use_gdm", False)),
+                    use_gdm=payload.get("use_gdm"),  # None -> service default
                     timeout=float(payload.get("timeout", 600.0)),
                 )
             except TimeoutError:
@@ -502,7 +521,7 @@ def make_handler(service: GenerationService, sample_rate: int):
                 context_seconds=payload.get("context_seconds"),
                 steps=payload.get("steps"),
                 seed=int(payload.get("seed", -1)),
-                use_gdm=bool(payload.get("use_gdm", False)),
+                use_gdm=payload.get("use_gdm"),  # None -> service default
             )
             try:
                 first = next(stream)  # generate errors surface as HTTP 500
@@ -551,11 +570,15 @@ def serve(
     max_wait_ms: float = 200.0,
     max_queue: int = 32,
     sampler_mode: str = "scan",
+    default_use_gdm: bool = True,
+    rng_impl: str = "rbg",
 ) -> ThreadingHTTPServer:
     """Build (but do not run) the HTTP server; call .serve_forever()."""
     service = GenerationService(jen1, max_batch=max_batch,
                                 max_wait_ms=max_wait_ms, max_queue=max_queue,
-                                sampler_mode=sampler_mode)
+                                sampler_mode=sampler_mode,
+                                default_use_gdm=default_use_gdm,
+                                rng_impl=rng_impl)
     httpd = ThreadingHTTPServer(
         (host, port), make_handler(service, jen1.sample_rate)
     )
@@ -583,6 +606,16 @@ def main(argv: Optional[List[str]] = None) -> None:
                    choices=("scan", "stepwise", "dpm++"),
                    help="'stepwise' for hosts whose compile service cannot "
                         "land the whole-loop scan program")
+    p.add_argument("--diffusion", default="gdm", choices=("gdm", "vdm"),
+                   help="service default when a request omits use_gdm: "
+                        "'gdm' (DDIM; the TPU-proven ~200 s compile class) "
+                        "or 'vdm' (generate()'s own default; its scan "
+                        "program measured >10 min to compile on a tunneled "
+                        "v5e host)")
+    p.add_argument("--rng", default="rbg", choices=("rbg", "threefry2x32"),
+                   help="sampler noise impl: 'rbg' = TPU hardware RNG "
+                        "(3x cheaper keygen/step); seeds reproducible "
+                        "within an impl only")
     args = p.parse_args(argv)
 
     enable_compile_cache()
@@ -592,6 +625,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         jen1, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue, sampler_mode=args.sampler_mode,
+        default_use_gdm=(args.diffusion == "gdm"), rng_impl=args.rng,
     )
     print(f"jen1-serve listening on {args.host}:{httpd.server_address[1]}")
     try:

@@ -36,7 +36,8 @@ class FakeJen1:
         self.calls = []
 
     def generate(self, prompts, seed=-1, steps=100, batch_size=1,
-                 seconds=30.0, use_gdm=False, sampler_mode="scan"):
+                 seconds=30.0, use_gdm=False, sampler_mode="scan",
+                 rng_impl="rbg"):
         time.sleep(self.delay)
         self.calls.append({"prompts": list(prompts), "seed": seed,
                            "sampler_mode": sampler_mode})
@@ -297,9 +298,12 @@ class TestHTTP:
             assert r.headers["X-Channels"] == "2"
             data = r.read()
         got = np.frombuffer(data, "<i2").reshape(-1, 2)
+        # match the SERVICE defaults (GDM DDIM + rbg noise — serve.py
+        # GenerationService docstring), which the request body leaves unset
         expected = tiny_jen1.generate_long(
             "stream me", total_seconds=2.5, window_seconds=1.0,
             context_seconds=0.5, seed=13, steps=2,
+            use_gdm=True, rng_impl="rbg",
         )[0]  # (ch, T)
         exp_pcm = (np.clip(expected.T, -1, 1) * 32767.0).astype("<i2")
         assert got.shape == exp_pcm.shape == (int(2.5 * 1600), 2)
