@@ -239,12 +239,20 @@ def child_main() -> None:
         cfg.diffusion_config.gaussian_diffusion, sampling_steps=steps
     )
 
-    def model_fn(x, t, **kw):
+    # Weights are ARGUMENTS of every jitted program below, never closure
+    # captures: closed-over concrete arrays lower into the module as literal
+    # constants. For these zeros that is O(1) splat text, but it makes the
+    # compiled program value-SPECIALIZED (XLA may constant-fold weights) —
+    # passing them as arguments guarantees the value-independent timing the
+    # header claims, and keeps the program identical to what serving compiles
+    # (benchmarks/hlo_compare_probe.py measured 0.7+ GB of StableHLO when
+    # real weights were captured instead of passed).
+    def model_fn_p(p, x, t, **kw):
         kw["embedding"] = kw["embedding"].astype(jnp.bfloat16)
         chl = kw.get("channels_list")
         if chl is not None:
             kw["channels_list"] = [c.astype(jnp.bfloat16) for c in chl]
-        out = model.apply(params, x.astype(jnp.bfloat16), t, **kw)
+        out = model.apply(p, x.astype(jnp.bfloat16), t, **kw)
         if isinstance(out, tuple):  # (out, encoder_cache)
             return (out[0].astype(jnp.float32), out[1])
         return out.astype(jnp.float32)
@@ -296,13 +304,14 @@ def child_main() -> None:
         # re-reads its weights every scan step; ~40 dB below the fp32 decode,
         # far under EnCodec's own quantization noise).
         ddtype = jnp.bfloat16 if decode_mode == "chunked_bf16" else None
-        decode = lambda z: codec.decode_latent_chunked(  # noqa: E731
-            z.astype(jnp.bfloat16), dtype=ddtype
+        decode = lambda cp, z: codec.decode_latent_chunked(  # noqa: E731
+            z.astype(jnp.bfloat16), dtype=ddtype, params=cp
         )
     else:
-        decode = lambda z: codec.decoder.apply(  # noqa: E731
-            codec.params["decoder"], z.astype(jnp.bfloat16)
+        decode = lambda cp, z: codec.decoder.apply(  # noqa: E731
+            cp["decoder"], z.astype(jnp.bfloat16)
         )
+    codec_params = codec.params
 
     def _with_sum(f):
         # Return (out, sum(out)) from ONE program: the scalar is the
@@ -326,9 +335,10 @@ def child_main() -> None:
         # (Faster-Diffusion encoder propagation, scan mode only).
         enc_reuse = int(os.environ.get("JEN1_BENCH_ENC_REUSE", "1"))
 
-        def raw_sample(rng):
+        def raw_sample(p, rng):
             return gdm.sample(
-                model_fn, (B, L, C), cond, rng, causal=False,
+                lambda x, t, **kw: model_fn_p(p, x, t, **kw),
+                (B, L, C), cond, rng, causal=False,
                 mode="dpm++" if mode == "dpm++" else "scan",
                 encoder_reuse=enc_reuse,
             )
@@ -344,22 +354,27 @@ def child_main() -> None:
         decode_prog = jax.jit(_with_sum(decode), compiler_options=OPTS)
 
         def sample(rng):
-            return decode_prog(sampler_prog(rng))
+            return decode_prog(codec_params, sampler_prog(params, rng))
 
         # Fused upgrade candidate (sampler+decode+checksum in ONE program):
         # built lazily, only attempted after a result is on disk.
-        fused_prog = jax.jit(
-            _with_sum(lambda rng: decode(raw_sample(rng))),
+        fused_prog_raw = jax.jit(
+            _with_sum(lambda p, cp, rng: decode(cp, raw_sample(p, rng))),
             compiler_options=OPTS,
+        )
+        fused_prog = lambda rng: fused_prog_raw(  # noqa: E731
+            params, codec_params, rng
         )
     else:
         _sum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
         decode_j = jax.jit(decode, compiler_options=OPTS)
 
         def sample(rng):
-            lat = gdm.sample(model_fn, (B, L, C), cond, rng, causal=False,
-                             mode=mode, compiler_options=OPTS)
-            out = decode_j(lat)
+            lat = gdm.sample(
+                model_fn_p, (B, L, C), cond, rng, causal=False,
+                mode=mode, compiler_options=OPTS, model_params=params,
+            )
+            out = decode_j(codec_params, lat)
             return out, _sum(out)
 
         fused_prog = None
@@ -441,17 +456,17 @@ def child_main() -> None:
     if os.environ.get("JEN1_BENCH_BREAKDOWN") == "1":
         # component walls (each its own program — manual runs only)
         stage["name"] = "breakdown"
-        lat = sampler_prog(key(9))
+        lat = sampler_prog(params, key(9))
         ssum = jax.jit(lambda z: jnp.sum(z.astype(jnp.float32)))
         float(ssum(lat))  # warm sampler-only fence
         t0 = time.time()
-        lat = sampler_prog(key(10))
+        lat = sampler_prog(params, key(10))
         float(ssum(lat))
         t_sample = time.time() - t0
         lat2 = lat + 1e-3  # vary args: the tunnel can replay identical
         # (executable, args) pairs from cache (see timing note above)
         t0 = time.time()
-        float(decode_prog(lat2)[1])
+        float(decode_prog(codec_params, lat2)[1])
         t_decode = time.time() - t0
         note(
             f"breakdown: sampler={t_sample:.3f}s decode={t_decode:.3f}s "
@@ -480,13 +495,13 @@ def child_main() -> None:
     try:
         stage["name"] = "MFU forward compile"
         lowered = jax.jit(
-            lambda a: model_fn(
-                a, t, embedding=emb, embedding_mask=mask,
+            lambda p, a: model_fn_p(
+                p, a, t, embedding=emb, embedding_mask=mask,
                 channels_list=[concat], embedding_scale=0.8,
                 batch_cfg=True, scale_cfg=True, causal=False,
             ),
             compiler_options=OPTS,
-        ).lower(x)
+        ).lower(params, x)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -226,6 +226,13 @@ class Jen1:
 
         return model_fn
 
+    def _params_model_fn(self, p, x, t, **kw):
+        """Params-first model_fn for samplers that jit internally (stepwise
+        mode): the sampler passes `p` as a jit ARGUMENT so the weights never
+        lower into the program as dense literal constants (see the scan-path
+        comment in generate())."""
+        return self._make_model_fn(p)(x, t, **kw)
+
     # ---------------------------------------------------------- generate
 
     def generate(
@@ -427,7 +434,6 @@ class Jen1:
                 init_emb = jax.device_put(init_emb, batch_sharding(self.mesh))
 
         diffusion = self._get_diffusion(steps, use_gdm)
-        model_fn = self._make_model_fn(params)
         shape = (batch_size, latent_len, latent_dim)
         init_data = None if no_init else init_emb
 
@@ -455,9 +461,11 @@ class Jen1:
             step_kw["encoder_reuse"] = int(encoder_reuse)
         if sampler_mode == "stepwise":
             latents = diffusion.sample(
-                model_fn, shape, conditioning, jax.random.fold_in(rng, 2),
+                self._params_model_fn, shape, conditioning,
+                jax.random.fold_in(rng, 2),
                 causal=causal, init_data=init_data, mode="stepwise",
-                compiler_options=compiler_options or None, **step_kw,
+                compiler_options=compiler_options or None,
+                model_params=params, **step_kw,
             )
         else:
             # Memoize the jitted sampler across generate() calls: a fresh
@@ -466,23 +474,41 @@ class Jen1:
             # a 1-core host, even when the executable itself is
             # persistent-cache warm) — fatal for serving throughput, where
             # every request lands here with identical static settings.
+            #
+            # params are an ARGUMENT of the jitted function, never a closure
+            # capture: closed-over concrete weights lower into the module as
+            # dense literal constants — measured 0.7+ GB of StableHLO for
+            # the full-size UNet (benchmarks/hlo_compare_probe.py), which is
+            # what killed every remote compile of generate()'s program at
+            # ~28 min while bench.py's zeros-weights module (O(1) splat
+            # constants, 1.8 MB) compiled in ~195 s. As an argument the
+            # module is small, compile time is normal, and one executable
+            # serves ANY weights (EMA vs raw, reloads) both in-process and
+            # via the persistent cache.
             cache_key = (
                 sampler_mode, steps, use_gdm, causal, shape,
-                encoder_reuse, id(params),
+                encoder_reuse,
                 tuple(sorted((compiler_options or {}).items())),
             )
             sample_fn = self._sample_cache.get(cache_key)
             if sample_fn is None:
                 mode_kw = {"mode": "dpm++"} if sampler_mode == "dpm++" else {}
+                make_model_fn = self._make_model_fn
+
+                def sample_fn_impl(p, r, c, i):
+                    return diffusion.sample(
+                        make_model_fn(p), shape, c, r, causal=causal,
+                        init_data=i, **mode_kw, **step_kw,
+                    )
+
                 sample_fn = jax.jit(
-                    lambda r, c, i: diffusion.sample(
-                        model_fn, shape, c, r, causal=causal, init_data=i,
-                        **mode_kw, **step_kw,
-                    ),
+                    sample_fn_impl,
                     compiler_options=compiler_options or None,
                 )
                 self._sample_cache[cache_key] = sample_fn
-            latents = sample_fn(jax.random.fold_in(rng, 2), conditioning, init_data)
+            latents = sample_fn(
+                params, jax.random.fold_in(rng, 2), conditioning, init_data
+            )
 
         if not decode:
             return np.asarray(latents).transpose(0, 2, 1)  # (B, 128, F)
@@ -719,16 +745,17 @@ class Jen1:
         )
 
         diffusion = self._get_diffusion(steps, use_gdm)
-        model_fn = self._make_model_fn(params)
         shape = (batch_size, latent_len, n_tracks * track_dim)
         step_kw = {} if use_gdm else {"step": steps}
+        make_model_fn = self._make_model_fn
+        # params as a jit ARGUMENT, never a closure capture (see generate())
         sample_fn = jax.jit(
-            lambda r, c: diffusion.sample(
-                model_fn, shape, c, r, causal=False, **step_kw
+            lambda p, r, c: diffusion.sample(
+                make_model_fn(p), shape, c, r, causal=False, **step_kw
             ),
             compiler_options=compiler_options or None,
         )
-        latents = sample_fn(jax.random.fold_in(rng, 2), conditioning)
+        latents = sample_fn(params, jax.random.fold_in(rng, 2), conditioning)
 
         if not decode:
             return np.asarray(latents).transpose(0, 2, 1)  # (B, n*D, F)

@@ -142,9 +142,16 @@ class EncodecModel:
             z = self._quantize_jit(self.params, z)
         return z
 
-    def decode_latent(self, latent: jnp.ndarray) -> jnp.ndarray:
-        """latent (B, F, D) -> audio (B, F*hop, ch) (reference decoder call)."""
-        return self._decode_jit(self.params, latent)
+    def decode_latent(self, latent: jnp.ndarray, params=None) -> jnp.ndarray:
+        """latent (B, F, D) -> audio (B, F*hop, ch) (reference decoder call).
+
+        params: explicit weight tree for callers that wrap this in their OWN
+        jit — pass the weights through as that jit's argument; captured
+        concrete weights would lower into the outer program as dense literal
+        constants (benchmarks/hlo_compare_probe.py)."""
+        return self._decode_jit(
+            self.params if params is None else params, latent
+        )
 
     # --------------------------------------------------------- segmented
 
@@ -216,6 +223,7 @@ class EncodecModel:
         chunk_frames: int = 150,
         hop_frames: int = 148,
         dtype: Optional[jnp.dtype] = None,
+        params=None,
     ) -> jnp.ndarray:
         """latent (B, F, D) -> audio (B, F*hop_length, ch), decoding
         overlapping latent chunks as ONE batched decoder call + triangular
@@ -230,6 +238,11 @@ class EncodecModel:
         cut the sequential chain 30x and turn the 31 chunks into LSTM/conv
         batch — MXU-friendly. Defaults mirror EnCodec's 1 s segment / 1%
         overlap (150-frame chunks, 2-frame = 640-sample crossfade).
+
+        params: explicit weight tree for callers wrapping this in their OWN
+        jit (see decode_latent). With dtype=bfloat16, the given tree's
+        decoder weights are cast per call (the cached bf16 tree is only for
+        the internal self.params path).
         """
         if dtype is not None and dtype != jnp.bfloat16:
             raise ValueError(
@@ -239,7 +252,7 @@ class EncodecModel:
         b, f, d = latent.shape
         hop = self.config.hop_length
         if f <= chunk_frames:
-            return self.decode_latent(latent)[:, : f * hop]
+            return self.decode_latent(latent, params=params)[:, : f * hop]
         n = max(1, math.ceil((f - chunk_frames) / hop_frames) + 1)
         pad = (n - 1) * hop_frames + chunk_frames - f
         use_bf16 = dtype == jnp.bfloat16
@@ -252,11 +265,18 @@ class EncodecModel:
                 )
             )
             self._chunked_jit[key] = fn
-        params = (
-            {"decoder": self.decoder_params_bf16()}
-            if use_bf16
-            else self.params
-        )
+        if params is None:
+            params = (
+                {"decoder": self.decoder_params_bf16()}
+                if use_bf16
+                else self.params
+            )
+        elif use_bf16:
+            params = {
+                "decoder": jax.tree.map(
+                    lambda w: w.astype(jnp.bfloat16), params["decoder"]
+                )
+            }
         latent = jnp.pad(latent, ((0, 0), (0, pad), (0, 0)))
         if use_bf16:
             latent = latent.astype(jnp.bfloat16)

@@ -491,6 +491,7 @@ class GaussianDiffusion:
         init_data: Optional[jnp.ndarray] = None,
         clip_denoised: bool = True,
         compiler_options: Optional[dict] = None,
+        model_params=None,
     ) -> jnp.ndarray:
         """DDIM with ONE jitted step + a host loop over (t, t_next) pairs.
 
@@ -519,13 +520,18 @@ class GaussianDiffusion:
         # ~25 min of compilation) while the bare forward compiles fine — and
         # the forward HLO is shared with other callers via the persistent
         # compilation cache.
+        # `p` (the model weights) is a jit ARGUMENT: closed-over concrete
+        # weights would lower into this per-step program as dense literal
+        # constants (benchmarks/hlo_compare_probe.py). p=None (weights baked
+        # into model_fn) stays supported — None is an empty pytree.
         @functools.partial(jax.jit, compiler_options=compiler_options)
-        def fwd(audio, time, step_idx, conditioning):
+        def fwd(p, audio, time, step_idx, conditioning):
+            mfn = model_fn if p is None else functools.partial(model_fn, p)
             step_rng = jax.random.fold_in(rng_loop, step_idx)
             rng_cfg, _ = jax.random.split(step_rng)
             time_cond = jnp.full((batch,), time, dtype=jnp.int32)
             return self._call_model(
-                model_fn, audio, time_cond, conditioning,
+                mfn, audio, time_cond, conditioning,
                 causal=causal, rng=rng_cfg, dropout=dropout,
             ).astype(jnp.float32)
 
@@ -568,7 +574,7 @@ class GaussianDiffusion:
             t_ = jnp.asarray(t, jnp.int32)
             tn_ = jnp.asarray(t_next, jnp.int32)
             i_ = jnp.asarray(i, jnp.int32)
-            model_out = fwd(audio, t_, i_, conditioning)
+            model_out = fwd(model_params, audio, t_, i_, conditioning)
             audio = update(audio, model_out, t_, tn_, i_)
         return audio
 
@@ -585,6 +591,7 @@ class GaussianDiffusion:
         mode: str = "scan",
         compiler_options: Optional[dict] = None,
         encoder_reuse: int = 1,
+        model_params=None,
     ) -> jnp.ndarray:
         """Dispatch DDIM iff sampling_timesteps < steps (gdm.py:227-230).
 
@@ -595,7 +602,19 @@ class GaussianDiffusion:
         compiler_options (stepwise only): passed to the per-step jits; e.g.
         {"exec_time_optimization_effort": -1.0} for hosts with
         pathologically slow compilers (default effort is otherwise both
-        faster-running and similarly fast to compile — measured on v5e)."""
+        faster-running and similarly fast to compile — measured on v5e).
+        model_params: when given, model_fn takes params FIRST —
+        model_fn(params, x, t, **kw) — and stepwise mode feeds them to its
+        per-step jit as an ARGUMENT. Concrete weights captured in a model_fn
+        closure lower into the per-step program as dense literal constants
+        (hundreds of MB of HLO for the full-size UNet — see
+        benchmarks/hlo_compare_probe.py); scan callers jit the whole sample()
+        call themselves and should pass weights as arguments of their own
+        jit instead (Jen1.generate does)."""
+        if model_params is not None and mode != "stepwise":
+            # under the caller's jit model_params is a tracer; binding it
+            # here keeps the no-params contract for the loop bodies
+            model_fn = functools.partial(model_fn, model_params)
         if encoder_reuse > 1:
             # validate BEFORE the mode dispatch so no branch can silently
             # ignore the flag (ADVICE r1: stepwise returned before this check
@@ -623,6 +642,7 @@ class GaussianDiffusion:
                 model_fn, shape, conditioning, rng,
                 causal=causal, init_data=init_data,
                 compiler_options=compiler_options,
+                model_params=model_params,
             )
         if self.is_ddim_sampling:
             return self.ddim_sample(

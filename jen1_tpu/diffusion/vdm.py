@@ -201,13 +201,18 @@ class VDM:
         causal: bool = False,
         init_data: Optional[jnp.ndarray] = None,
         compiler_options: Optional[dict] = None,
+        model_params=None,
     ) -> jnp.ndarray:
         """v-space sampler with ONE jitted step + a host loop.
 
         Numerically identical to `p_sample_loop` (same per-step rng folding);
         the compiled graph is a single denoising step instead of the full
         scan — see GaussianDiffusion.ddim_sample_stepwise for why (the
-        whole-loop HLO can exceed what a remote compile service accepts)."""
+        whole-loop HLO can exceed what a remote compile service accepts).
+        model_params: when given, model_fn takes params FIRST and the
+        per-step jit receives them as an ARGUMENT — closed-over concrete
+        weights lower into the program as dense literal constants
+        (benchmarks/hlo_compare_probe.py)."""
         import functools
 
         batch = shape[0]
@@ -218,11 +223,12 @@ class VDM:
         dropout = self.dropout_during_sampling
 
         @functools.partial(jax.jit, compiler_options=compiler_options)
-        def fwd(audio, t, step_idx, conditioning):
+        def fwd(p, audio, t, step_idx, conditioning):
+            mfn = model_fn if p is None else functools.partial(model_fn, p)
             step_rng = jax.random.fold_in(rng_loop, step_idx)
             time_cond = jnp.full((batch,), t, dtype=jnp.float32)
             return self._call_model(
-                model_fn, audio, time_cond, conditioning,
+                mfn, audio, time_cond, conditioning,
                 causal=causal, rng=step_rng, dropout=dropout,
             ).astype(jnp.float32)
 
@@ -240,7 +246,8 @@ class VDM:
         for i, (t, t_next) in enumerate(zip(steps[:-1], steps[1:])):
             t_ = jnp.asarray(t, jnp.float32)
             tn_ = jnp.asarray(t_next, jnp.float32)
-            v_pred = fwd(audio, t_, jnp.asarray(i, jnp.int32), conditioning)
+            v_pred = fwd(model_params, audio, t_, jnp.asarray(i, jnp.int32),
+                         conditioning)
             audio = update(audio, v_pred, t_, tn_)
         return audio
 
@@ -257,14 +264,23 @@ class VDM:
         return_all_timesteps: bool = False,
         mode: str = "scan",
         compiler_options: Optional[dict] = None,
+        model_params=None,
     ) -> jnp.ndarray:
         """mode: 'scan' (whole loop in one XLA program — call under jit) or
-        'stepwise' (one jitted step + host loop — call OUTSIDE jit)."""
+        'stepwise' (one jitted step + host loop — call OUTSIDE jit).
+        model_params: see GaussianDiffusion.sample — when given, model_fn
+        takes params FIRST; stepwise feeds them to its jit as an argument,
+        scan binds them (the caller's jit should take them as an argument)."""
+        if model_params is not None and mode != "stepwise":
+            import functools
+
+            model_fn = functools.partial(model_fn, model_params)
         if mode == "stepwise":
             assert not return_all_timesteps
             return self.p_sample_stepwise(
                 model_fn, shape, conditioning, rng, step=step, causal=causal,
                 init_data=init_data, compiler_options=compiler_options,
+                model_params=model_params,
             )
         return self.p_sample_loop(
             model_fn,
