@@ -26,11 +26,20 @@ backend init with zero diagnostics, watchdog killed it at 1080 s):
     thread keeps printing during compiles);
   * the DEFAULT pipeline is the proven sub-deadline one — sampler scan
     program + separate chunked-decode program, chained asynchronously on
-    device (~195 s + ~90 s compiles, r1 measured) — and the first result is
+    device (~333 s cold compile, r4 measured) — and the first result is
     written right after the first post-compile run. The sampler+decode
-    FUSED single program (~755 s compile on this host, worth ~6 ms/clip) is
-    only attempted AFTER a result is on disk and only when the remaining
-    deadline budget covers it (JEN1_BENCH_FUSED=1 forces it, =0 disables).
+    FUSED single program is only attempted AFTER a result is on disk and
+    only when the remaining deadline budget covers it (JEN1_BENCH_FUSED=1
+    forces it, =0 disables). Its compile cost collapsed from ~755 s (r3) to
+    ~40 s (r4) once the codec weights stopped being closure-captured.
+
+Value honesty (round 4): rounds 1-3 CAPTURED the zeros weight trees in the
+jitted programs' closures, which lowers them as splat constants — XLA then
+value-specializes (folds weight-zero ops), and the measured 239 audio-s/s
+was partly an artifact. With weights passed as program ARGUMENTS (matching
+how serving/training run, and making timing provably value-independent) the
+same pipeline measures ~156 audio-s/s/chip — the honest number. See
+benchmarks/hlo_compare_probe.py.
 """
 
 from __future__ import annotations
@@ -347,9 +356,10 @@ def child_main() -> None:
         # decode(+checksum) — chained asynchronously: jax dispatch queues
         # decode(latents) on device without a host round-trip, so the only
         # cost vs the fused single program is the 2.3 MB latent buffer
-        # write/read (~6 ms/clip measured in r2). Compiles in ~195 s + ~90 s
-        # on this host vs ~755 s for the fused program — the r2 fused-default
-        # regression (BENCH_r02 = 0.0) is why unfused is the default again.
+        # write/read (~6 ms/clip measured in r2). Compiles in ~333 s cold on
+        # this host (r4, weights-as-args program); the fused program adds
+        # only ~40 s now, but the r2 fused-default regression (BENCH_r02 =
+        # 0.0) is why result-first unfused stays the default.
         sampler_prog = jax.jit(raw_sample, compiler_options=OPTS)
         decode_prog = jax.jit(_with_sum(decode), compiler_options=OPTS)
 
@@ -386,7 +396,7 @@ def child_main() -> None:
     # while fetching the output-dependent sum reports walls consistent with
     # the roofline. The sum is computed INSIDE the decode program (see
     # _with_sum) so the fence costs zero extra dispatches.
-    stage["name"] = "sampler+decode compile (expect ~195s+~90s on v5e host)"
+    stage["name"] = "sampler+decode compile (expect ~333s cold on v5e host)"
     t0 = time.time()
     _, chk = sample(key(2))
     float(chk)
@@ -424,16 +434,17 @@ def child_main() -> None:
     note(f"single-clip latency (incl. fetch round-trip)={time.time() - t0:.3f}s")
 
     # ---- fused upgrade: one XLA program for sampler+decode+checksum.
-    # Worth ~6 ms/clip (r2 measured 236.6 vs ~230 unfused) but costs a
-    # ~755 s compile on this host — only attempt it with a result already
-    # on disk AND enough deadline budget left (or when forced).
+    # Worth a few ms/clip; its compile cost collapsed from ~755 s (r3,
+    # codec weights captured as dense literals) to ~40 s (r4, weights as
+    # arguments) — still only attempted with a result already on disk AND
+    # deadline budget left (or when forced).
     fused_env = os.environ.get("JEN1_BENCH_FUSED", "auto")
     want_fused = fused_prog is not None and not tiny and (
         fused_env == "1"
-        or (fused_env == "auto" and budget_left() > 900)
+        or (fused_env == "auto" and budget_left() > 300)
     )
     if want_fused:
-        stage["name"] = "FUSED program compile (expect ~755s on v5e host)"
+        stage["name"] = "FUSED program compile (~40s on v5e host, r4)"
         note(f"attempting fused upgrade (budget left {budget_left():.0f}s)")
         try:
             t0 = time.time()
@@ -450,7 +461,7 @@ def child_main() -> None:
             note(f"fused upgrade failed, keeping unfused result: "
                  f"{type(e).__name__}: {e}")
     elif fused_prog is not None and not tiny:
-        note(f"fused upgrade skipped (budget left {budget_left():.0f}s < 900s;"
+        note(f"fused upgrade skipped (budget left {budget_left():.0f}s < 300s;"
              f" JEN1_BENCH_FUSED=1 forces)")
 
     if os.environ.get("JEN1_BENCH_BREAKDOWN") == "1":

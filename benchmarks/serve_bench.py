@@ -3,23 +3,27 @@
 Round-1/2 serve tests are hermetic (fake Jen1); this measures the REAL
 thing end-to-end on v5e: full-size UNet + T5 text encoding + 100-step DDIM
 scan + chunked codec decode behind the static-shape micro-batcher. Random
-weights (timing is value-independent); every request is a distinct prompt
-with the service-assigned seed so requests co-batch (explicit seeds
-deliberately never co-batch — see serve.py).
+weights (timing is value-independent; the sampler takes the weight tree as
+a program ARGUMENT — see benchmarks/hlo_compare_probe.py); every request is
+a distinct prompt with the service-assigned seed so requests co-batch
+(explicit seeds deliberately never co-batch — see serve.py).
 
-Reports: warm single-request latency, then N_REQ concurrent requests ->
-wall, requests/s, audio-s/s/chip, p50/p95 request latency, batch fill.
+Reports per max_batch (default {4, 1}, one shared Jen1): warm single-request
+latency, N_REQ concurrent requests -> wall, requests/s, audio-s/s/chip,
+p50/p95 request latency, batch fill; plus the overload/503 path once.
 
 Run: python benchmarks/serve_bench.py   [JEN1_SERVE_BENCH_REQS=16]
+     JEN1_SERVE_BENCH_MAXBATCHES=4,1 (comma list; each value compiles its
+     own padded-batch program — ~330 s warm-up each on a cold cache)
 
 Compile economics (measured rounds 3-4, axon tunnel): the r3 ">12 min
-warm-up" was the VDM scan — generate()'s default diffusion (use_gdm=False)
-— whose whole-loop program exceeds the tunnel's ~27-33 min compile limit
-with EITHER rng impl (threefry AND rbg both died with `remote_compile:
-Broken pipe`). The service now defaults to the GDM DDIM scan
-(default_use_gdm=True), the same ~200 s compile class bench.py proves
-every round. JEN1_SERVE_BENCH_GDM=0 restores the VDM default (expect the
-wall); JEN1_SERVE_BENCH_SAMPLER=stepwise is the no-big-program fallback.
+warm-up that then died" was generate() CLOSING OVER the weights — the
+whole weight tree lowered into the module as dense literal constants
+(0.7+ GB of StableHLO) and the remote compile dropped at ~28 min. With
+weights passed as program arguments (round 4) the warm-up measured 330 s
+at max_batch=4. The service also defaults to the GDM DDIM scan + rbg
+noise; JEN1_SERVE_BENCH_GDM=0 selects the VDM sampler and
+JEN1_SERVE_BENCH_SAMPLER=stepwise the no-big-program fallback.
 """
 
 from __future__ import annotations
@@ -34,34 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    from jen1_tpu.utils.compile_cache import enable_compile_cache
-
-    enable_compile_cache()
-    import jax
-
-    from jen1_tpu.api.generation import Jen1
-    from jen1_tpu.config import Config
-    from jen1_tpu.serve import GenerationService
-
-    n_req = int(os.environ.get("JEN1_SERVE_BENCH_REQS", "16"))
-    steps = int(os.environ.get("JEN1_SERVE_BENCH_STEPS", "100"))
-    seconds = float(os.environ.get("JEN1_SERVE_BENCH_SECONDS", "30"))
-    max_batch = int(os.environ.get("JEN1_SERVE_BENCH_MAXBATCH", "4"))
-    # 'stepwise' is the fallback for hosts whose remote-compile tunnel drops
-    # the whole-loop scan program (measured round 4: >2000 s -> Broken pipe).
-    sampler_mode = os.environ.get("JEN1_SERVE_BENCH_SAMPLER", "scan")
-    use_gdm = os.environ.get("JEN1_SERVE_BENCH_GDM", "1") == "1"
-    rng_impl = os.environ.get("JEN1_SERVE_BENCH_RNG", "rbg")
-
-    dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} n_req={n_req} steps={steps} "
-          f"seconds={seconds} max_batch={max_batch}", flush=True)
-
-    t0 = time.time()
-    jen1 = Jen1(ckpt_path=None, config=Config())
-    print(f"Jen1 built (random weights) in {time.time() - t0:.0f}s", flush=True)
-
+def bench_one(jen1, GenerationService, *, max_batch, n_req, steps, seconds,
+              sampler_mode, use_gdm, rng_impl):
+    """Warm + load-test one max_batch value; returns a metrics dict."""
     svc = GenerationService(
         jen1, max_batch=max_batch, max_wait_ms=100.0,
         default_seconds=seconds, default_steps=steps,
@@ -69,8 +48,8 @@ def main():
         default_use_gdm=use_gdm, rng_impl=rng_impl,
     )
 
-    # Warm both the max_batch graph (a full batch) and measure a single
-    # warm request afterwards.
+    # Warm the max_batch graph with a full batch, then measure one warm
+    # single request (pads to max_batch; same program).
     t0 = time.time()
     warm_threads = [
         threading.Thread(target=lambda i=i: svc.submit(
@@ -80,12 +59,15 @@ def main():
         t.start()
     for t in warm_threads:
         t.join()
-    print(f"warmup (compile + first batch) {time.time() - t0:.0f}s", flush=True)
+    warmup = time.time() - t0
+    print(f"[mb{max_batch}] warmup (compile + first batch) {warmup:.0f}s",
+          flush=True)
 
     t0 = time.time()
     svc.submit("a single warm request", timeout=600)
     single = time.time() - t0
-    print(f"warm single-request latency: {single:.3f}s", flush=True)
+    print(f"[mb{max_batch}] warm single-request latency: {single:.3f}s",
+          flush=True)
 
     lat = [None] * n_req
     err = []
@@ -110,24 +92,67 @@ def main():
     lats = sorted(v for v in lat if v is not None)
     p50 = lats[len(lats) // 2]
     p95 = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
-    fill = svc.stats["requests"] / max(
-        1, svc.stats["batches"] * max_batch - svc.stats["padded_lanes"] + 1e-9
-    )
     print(
-        f"{n_req} concurrent requests: wall={wall:.2f}s -> "
+        f"[mb{max_batch}] {n_req} concurrent requests: wall={wall:.2f}s -> "
         f"{n_req / wall:.2f} req/s, {n_req * seconds / wall:.1f} "
         f"audio-s/s/chip; latency p50={p50:.2f}s p95={p95:.2f}s; "
         f"batches={svc.stats['batches']} padded_lanes="
         f"{svc.stats['padded_lanes']}", flush=True,
     )
+    stats = dict(svc.stats)
+    svc.close()
+    return {
+        "max_batch": max_batch, "warmup": warmup, "single": single,
+        "wall": wall, "p50": p50, "p95": p95, "stats": stats,
+        "req_s": n_req / wall, "audio_s": n_req * seconds / wall,
+    }
+
+
+def main():
+    from jen1_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+
+    from jen1_tpu.api.generation import Jen1
+    from jen1_tpu.config import Config
+    from jen1_tpu.serve import GenerationService, ServiceOverloaded
+
+    n_req = int(os.environ.get("JEN1_SERVE_BENCH_REQS", "16"))
+    steps = int(os.environ.get("JEN1_SERVE_BENCH_STEPS", "100"))
+    seconds = float(os.environ.get("JEN1_SERVE_BENCH_SECONDS", "30"))
+    batches = [
+        int(v) for v in os.environ.get(
+            "JEN1_SERVE_BENCH_MAXBATCHES",
+            os.environ.get("JEN1_SERVE_BENCH_MAXBATCH", "4,1"),
+        ).split(",")
+    ]
+    # 'stepwise' is the fallback for hosts whose remote-compile tunnel drops
+    # the whole-loop scan program.
+    sampler_mode = os.environ.get("JEN1_SERVE_BENCH_SAMPLER", "scan")
+    use_gdm = os.environ.get("JEN1_SERVE_BENCH_GDM", "1") == "1"
+    rng_impl = os.environ.get("JEN1_SERVE_BENCH_RNG", "rbg")
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} n_req={n_req} steps={steps} "
+          f"seconds={seconds} max_batches={batches}", flush=True)
+
+    t0 = time.time()
+    jen1 = Jen1(ckpt_path=None, config=Config())
+    print(f"Jen1 built (random weights) in {time.time() - t0:.0f}s", flush=True)
+
+    rows = [
+        bench_one(jen1, GenerationService, max_batch=mb, n_req=n_req,
+                  steps=steps, seconds=seconds, sampler_mode=sampler_mode,
+                  use_gdm=use_gdm, rng_impl=rng_impl)
+        for mb in batches
+    ]
 
     # ---- overload burst: a burst beyond max_queue must shed load with
     # ServiceOverloaded (HTTP layer maps it to 503) while admitted requests
     # still complete. Uses a tiny queue to make shedding immediate.
-    from jen1_tpu.serve import ServiceOverloaded
-
     svc2 = GenerationService(
-        jen1, max_batch=max_batch, max_wait_ms=100.0,
+        jen1, max_batch=batches[0], max_wait_ms=100.0,
         default_seconds=seconds, default_steps=steps, max_queue=4,
         sampler_mode=sampler_mode, default_use_gdm=use_gdm,
         rng_impl=rng_impl,
@@ -153,33 +178,46 @@ def main():
           f"{len(shed)} shed (503), {len(done)} served, "
           f"wall={burst_wall:.1f}s", flush=True)
     svc2.close()
-    svc.close()
 
     out = os.path.join(os.path.dirname(__file__), "SERVING_TPU.md")
+    sampler_name = "GDM DDIM" if use_gdm else "VDM"
+    header = "| metric |" + "".join(
+        f" max_batch={r['max_batch']} |" for r in rows
+    )
+    sep = "|---|" + "---|" * len(rows)
+
+    def row(label, fmt):
+        return f"| {label} |" + "".join(f" {fmt(r)} |" for r in rows)
+
     with open(out, "w") as f:
         f.write(f"""# Serving — real-TPU load benchmark
 
 Device: {dev.device_kind}. REAL end-to-end path: full-size UNet + T5 text
-encoding + {steps}-step {'GDM DDIM' if use_gdm else 'VDM'} sampler (mode:
-{sampler_mode}, rng: {rng_impl}) + chunked codec decode behind the
-static-shape micro-batcher (`jen1_tpu/serve.py`), random weights (timing is
-value-independent). Every request is a distinct prompt with
-service-assigned seeds so requests co-batch. The reference has NO serving
-story at all.
+encoding + {steps}-step {sampler_name} sampler (mode: {sampler_mode}, rng:
+{rng_impl}) + chunked codec decode behind the static-shape micro-batcher
+(`jen1_tpu/serve.py`), random weights (timing is value-independent: the
+weight tree is a program ARGUMENT, benchmarks/hlo_compare_probe.py). Every
+request is a distinct prompt with service-assigned seeds so requests
+co-batch. Load = {n_req} concurrent {seconds:.0f} s-clip requests. The
+reference has NO serving story at all.
 
-| metric | value |
-|---|---|
-| warm single-request latency ({seconds:.0f} s clip) | {single:.2f} s |
-| {n_req} concurrent requests wall | {wall:.2f} s |
-| throughput | {n_req / wall:.2f} req/s = {n_req * seconds / wall:.1f} audio-s/s/chip |
-| request latency p50 / p95 | {p50:.2f} s / {p95:.2f} s |
-| batches / padded lanes | {svc.stats['batches']} / {svc.stats['padded_lanes']} |
-| overload burst ({burst} reqs, max_queue=4) | {len(shed)} shed with ServiceOverloaded (HTTP 503), {len(done)} served, wall {burst_wall:.1f} s |
+{header}
+{sep}
+{row("warm-up (compile + first batch)", lambda r: f"{r['warmup']:.0f} s")}
+{row("warm single-request latency", lambda r: f"{r['single']:.2f} s")}
+{row(f"{n_req} concurrent requests wall", lambda r: f"{r['wall']:.2f} s")}
+{row("throughput", lambda r: f"{r['req_s']:.2f} req/s = {r['audio_s']:.1f} audio-s/s/chip")}
+{row("request latency p50 / p95", lambda r: f"{r['p50']:.2f} / {r['p95']:.2f} s")}
+{row("batches / padded lanes", lambda r: f"{r['stats']['batches']} / {r['stats']['padded_lanes']}")}
+
+Overload burst ({burst} reqs, max_queue=4, max_batch={batches[0]}):
+{len(shed)} shed with ServiceOverloaded (HTTP 503), {len(done)} served,
+wall {burst_wall:.1f} s.
 
 Reproduce: `JEN1_SERVE_BENCH_REQS={n_req} JEN1_SERVE_BENCH_STEPS={steps}
-JEN1_SERVE_BENCH_MAXBATCH={max_batch} JEN1_SERVE_BENCH_SAMPLER={sampler_mode}
-JEN1_SERVE_BENCH_GDM={1 if use_gdm else 0} JEN1_SERVE_BENCH_RNG={rng_impl}
-python benchmarks/serve_bench.py`
+JEN1_SERVE_BENCH_MAXBATCHES={",".join(str(b) for b in batches)}
+JEN1_SERVE_BENCH_SAMPLER={sampler_mode} JEN1_SERVE_BENCH_GDM={1 if use_gdm else 0}
+JEN1_SERVE_BENCH_RNG={rng_impl} python benchmarks/serve_bench.py`
 """)
     print(f"wrote {out}", flush=True)
 
