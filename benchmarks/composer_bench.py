@@ -126,12 +126,16 @@ def bench_tracks(n_tracks: int, steps: int):
     row.setdefault("params", sum(
         int(np.prod(s.shape)) for s in jax.tree.leaves(shapes["params"])))
 
-    def model_fn(x, t, **kw):  # bench.py's proven pattern
+    # weights as a program ARGUMENT: these are host-random DENSE values — as
+    # a closure capture they lower into the module as multi-GB literal
+    # constants (benchmarks/hlo_compare_probe.py), which is what made the r3
+    # composer gen/train compiles exceed the remote-compile tunnel's limit
+    def model_fn_p(p, x, t, **kw):
         kw["embedding"] = kw["embedding"].astype(jnp.bfloat16)
         chl = kw.get("channels_list")
         if chl is not None:
             kw["channels_list"] = [c.astype(jnp.bfloat16) for c in chl]
-        return model.apply(params, x.astype(jnp.bfloat16), t, **kw).astype(
+        return model.apply(p, x.astype(jnp.bfloat16), t, **kw).astype(
             jnp.float32)
 
     cond = {
@@ -141,15 +145,16 @@ def bench_tracks(n_tracks: int, steps: int):
         "input_concat_cond": concat,
     }
 
-    prog = jax.jit(lambda rng: (lambda o: (o, jnp.sum(o.astype(
-        jnp.float32))))(gdm_g.sample(model_fn, (1, Lg, mc.in_channels), cond,
-                                     rng, causal=False, mode="scan")))
+    prog = jax.jit(lambda p, rng: (lambda o: (o, jnp.sum(o.astype(
+        jnp.float32))))(gdm_g.sample(
+            lambda x, t, **kw: model_fn_p(p, x, t, **kw),
+            (1, Lg, mc.in_channels), cond, rng, causal=False, mode="scan")))
     t0 = time.time()
-    _, chk = prog(jax.random.PRNGKey(3))
+    _, chk = prog(params, jax.random.PRNGKey(3))
     float(chk)
     row["gen_compile_s"] = round(time.time() - t0, 1)
     t0 = time.time()
-    _, chk = prog(jax.random.PRNGKey(4))
+    _, chk = prog(params, jax.random.PRNGKey(4))
     float(chk)
     wall = time.time() - t0
     row["gen_wall_s"] = round(wall, 2)

@@ -79,12 +79,14 @@ def main():
     )
     params = zeros_like_shapes(shapes)
 
-    def model_fn(x, t, **kw):  # bench.py's proven pattern
+    # weights as a program ARGUMENT (value-independent timing; captured
+    # weights lower as module constants — benchmarks/hlo_compare_probe.py)
+    def model_fn_p(p, x, t, **kw):
         kw["embedding"] = kw["embedding"].astype(jnp.bfloat16)
         chl = kw.get("channels_list")
         if chl is not None:
             kw["channels_list"] = [c.astype(jnp.bfloat16) for c in chl]
-        return model.apply(params, x.astype(jnp.bfloat16), t, **kw).astype(
+        return model.apply(p, x.astype(jnp.bfloat16), t, **kw).astype(
             jnp.float32)
 
     cond = {
@@ -93,18 +95,19 @@ def main():
         "global_cond": None,
         "input_concat_cond": concat,
     }
-    raw = lambda rng: gdm.sample(  # noqa: E731
-        model_fn, (B, L, C), cond, rng, causal=False, mode="scan")
-    prog = jax.jit(lambda rng: (lambda o: (o, jnp.sum(o.astype(jnp.float32))))(
-        raw(rng)))
+    raw = lambda p, rng: gdm.sample(  # noqa: E731
+        lambda x, t, **kw: model_fn_p(p, x, t, **kw),
+        (B, L, C), cond, rng, causal=False, mode="scan")
+    prog = jax.jit(lambda p, rng: (
+        lambda o: (o, jnp.sum(o.astype(jnp.float32))))(raw(p, rng)))
 
     t0 = time.time()
-    lat, chk = prog(jax.random.PRNGKey(0))
+    lat, chk = prog(params, jax.random.PRNGKey(0))
     float(chk)
     compile_s = time.time() - t0
     print(f"compile+first sample: {compile_s:.1f}s", flush=True)
     t0 = time.time()
-    lat, chk = prog(jax.random.PRNGKey(1))
+    lat, chk = prog(params, jax.random.PRNGKey(1))
     float(chk)
     wall = time.time() - t0
     finite = bool(np.isfinite(np.asarray(lat[:, :8, :8], np.float32)).all())
