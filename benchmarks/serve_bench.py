@@ -39,13 +39,14 @@ import numpy as np
 
 
 def bench_one(jen1, GenerationService, *, max_batch, n_req, steps, seconds,
-              sampler_mode, use_gdm, rng_impl):
+              sampler_mode, use_gdm, rng_impl, output_dtype):
     """Warm + load-test one max_batch value; returns a metrics dict."""
     svc = GenerationService(
         jen1, max_batch=max_batch, max_wait_ms=100.0,
         default_seconds=seconds, default_steps=steps,
         max_queue=max(32, 2 * n_req), sampler_mode=sampler_mode,
         default_use_gdm=use_gdm, rng_impl=rng_impl,
+        output_dtype=output_dtype,
     )
 
     # Warm the max_batch graph with a full batch, then measure one warm
@@ -132,6 +133,9 @@ def main():
     sampler_mode = os.environ.get("JEN1_SERVE_BENCH_SAMPLER", "scan")
     use_gdm = os.environ.get("JEN1_SERVE_BENCH_GDM", "1") == "1"
     rng_impl = os.environ.get("JEN1_SERVE_BENCH_RNG", "rbg")
+    # int16 = the HTTP product configuration (device-side PCM conversion,
+    # half the device->host fetch); float32 = the programmatic default.
+    output_dtype = os.environ.get("JEN1_SERVE_BENCH_OUTPUT", "int16")
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} n_req={n_req} steps={steps} "
@@ -144,7 +148,8 @@ def main():
     rows = [
         bench_one(jen1, GenerationService, max_batch=mb, n_req=n_req,
                   steps=steps, seconds=seconds, sampler_mode=sampler_mode,
-                  use_gdm=use_gdm, rng_impl=rng_impl)
+                  use_gdm=use_gdm, rng_impl=rng_impl,
+                  output_dtype=output_dtype)
         for mb in batches
     ]
 
@@ -194,7 +199,8 @@ def main():
 
 Device: {dev.device_kind}. REAL end-to-end path: full-size UNet + T5 text
 encoding + {steps}-step {sampler_name} sampler (mode: {sampler_mode}, rng:
-{rng_impl}) + chunked codec decode behind the static-shape micro-batcher
+{rng_impl}, output: {output_dtype}) + chunked codec decode behind the
+static-shape micro-batcher
 (`jen1_tpu/serve.py`), random weights (timing is value-independent: the
 weight tree is a program ARGUMENT, benchmarks/hlo_compare_probe.py). Every
 request is a distinct prompt with service-assigned seeds so requests
@@ -217,7 +223,8 @@ wall {burst_wall:.1f} s.
 Reproduce: `JEN1_SERVE_BENCH_REQS={n_req} JEN1_SERVE_BENCH_STEPS={steps}
 JEN1_SERVE_BENCH_MAXBATCHES={",".join(str(b) for b in batches)}
 JEN1_SERVE_BENCH_SAMPLER={sampler_mode} JEN1_SERVE_BENCH_GDM={1 if use_gdm else 0}
-JEN1_SERVE_BENCH_RNG={rng_impl} python benchmarks/serve_bench.py`
+JEN1_SERVE_BENCH_RNG={rng_impl} JEN1_SERVE_BENCH_OUTPUT={output_dtype}
+python benchmarks/serve_bench.py`
 """)
     print(f"wrote {out}", flush=True)
 

@@ -42,6 +42,12 @@ def _warn(msg: str) -> None:
     warnings.warn(f"jen1_tpu: {msg}", UserWarning, stacklevel=3)
 
 
+@jax.jit
+def _to_int16(audio: jnp.ndarray) -> jnp.ndarray:
+    """float [-1,1] -> 16-bit PCM, on device (halves the host fetch)."""
+    return (jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+
 class Jen1:
     def __init__(
         self,
@@ -254,9 +260,13 @@ class Jen1:
         encoder_reuse: int = 1,
         compiler_options: Optional[Dict[str, Any]] = None,
         rng_impl: str = "threefry2x32",
+        output_dtype: str = "float32",
     ):
         """Returns waveform (B, channels, samples) float32 (or the latent
-        (B, 128, frames) when decode=False).
+        (B, 128, frames) when decode=False). output_dtype="int16" instead
+        returns 16-bit PCM converted ON DEVICE — half the host-fetch bytes,
+        which bounds warm request latency on tunneled runtimes (serving's
+        WAV/s16le output needs exactly this anyway). Unknown values raise.
 
         rng_impl: "threefry2x32" (default; reproducible across backends) or
         "rbg" — the TPU hardware RngBitGenerator. The DDIM scan draws a
@@ -288,6 +298,11 @@ class Jen1:
         programs than low effort). Pass
         {"exec_time_optimization_effort": -1.0} on hosts whose compiler is
         pathologically slow at default effort."""
+        if output_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"output_dtype must be 'float32' or 'int16', got "
+                f"{output_dtype!r}"
+            )
         if compiler_options is None:
             effort = getattr(self.config, "compile_effort", None)
             compiler_options = (
@@ -528,6 +543,12 @@ class Jen1:
                 f"decode_mode must be 'chunked', 'chunked_bf16' or 'whole', "
                 f"got {decode_mode!r}"
             )
+        if output_dtype == "int16":
+            # 16-bit PCM conversion ON DEVICE: serving delivers WAV/s16le
+            # anyway, and the int16 buffer is half the fp32 host fetch — on
+            # a tunneled runtime the fetch bounds warm request latency
+            # (benchmarks/SERVING_TPU.md notes).
+            audio = _to_int16(audio)
         return np.asarray(audio).transpose(0, 2, 1)  # (B, ch, T)
 
     def generate_long(

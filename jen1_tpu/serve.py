@@ -108,6 +108,7 @@ class GenerationService:
         sampler_mode: str = "scan",
         default_use_gdm: bool = True,
         rng_impl: str = "rbg",
+        output_dtype: str = "float32",
     ):
         self.jen1 = jen1
         self.max_batch = int(max_batch)
@@ -132,6 +133,12 @@ class GenerationService:
         # (benchmarks/b1_math_slope.py). Seeds remain reproducible WITHIN an
         # impl; cross-impl seed streams differ (generate() docstring).
         self.rng_impl = str(rng_impl)
+        # 'int16' converts to 16-bit PCM ON DEVICE and halves the
+        # device->host fetch (the warm-latency bound on tunneled runtimes);
+        # submit() then returns int16 arrays. The HTTP layer emits s16le WAV
+        # either way, so 'int16' loses nothing over HTTP. Default 'float32'
+        # keeps the programmatic submit() contract.
+        self.output_dtype = str(output_dtype)
         self.stats: Dict[str, Any] = {
             "requests": 0, "batches": 0, "padded_lanes": 0, "errors": 0,
             "rejected": 0, "streams": 0, "busy": False,
@@ -386,6 +393,7 @@ class GenerationService:
             use_gdm=first.use_gdm,
             sampler_mode=self.sampler_mode,
             rng_impl=self.rng_impl,
+            output_dtype=self.output_dtype,
         )  # (max_batch, ch, T)
         audio = np.asarray(audio)
         self.stats["batches"] += 1
@@ -396,12 +404,16 @@ class GenerationService:
 
 
 def _wav_bytes(audio_ct: np.ndarray, sample_rate: int) -> bytes:
-    """(channels, T) float32 [-1, 1] -> 16-bit PCM WAV bytes."""
-    audio = np.clip(audio_ct.T.astype(np.float32), -1.0, 1.0)
-    ints = (audio * 32767.0).astype("<i2")
+    """(channels, T) float32 [-1,1] OR int16 (already device-converted)
+    -> 16-bit PCM WAV bytes."""
+    if audio_ct.dtype == np.int16:
+        ints = audio_ct.T.astype("<i2")
+    else:
+        audio = np.clip(audio_ct.T.astype(np.float32), -1.0, 1.0)
+        ints = (audio * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(audio.shape[1])
+        w.setnchannels(ints.shape[1])
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(ints.tobytes())
@@ -572,13 +584,20 @@ def serve(
     sampler_mode: str = "scan",
     default_use_gdm: bool = True,
     rng_impl: str = "rbg",
+    output_dtype: str = "int16",
 ) -> ThreadingHTTPServer:
-    """Build (but do not run) the HTTP server; call .serve_forever()."""
+    """Build (but do not run) the HTTP server; call .serve_forever().
+
+    output_dtype defaults to 'int16' here (unlike GenerationService): the
+    HTTP layer emits 16-bit WAV regardless, so converting on device loses
+    nothing and halves the device->host fetch. 'npy' responses then carry
+    int16 — pass output_dtype='float32' to keep fp32 npy."""
     service = GenerationService(jen1, max_batch=max_batch,
                                 max_wait_ms=max_wait_ms, max_queue=max_queue,
                                 sampler_mode=sampler_mode,
                                 default_use_gdm=default_use_gdm,
-                                rng_impl=rng_impl)
+                                rng_impl=rng_impl,
+                                output_dtype=output_dtype)
     httpd = ThreadingHTTPServer(
         (host, port), make_handler(service, jen1.sample_rate)
     )
@@ -616,6 +635,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="sampler noise impl: 'rbg' = TPU hardware RNG "
                         "(3x cheaper keygen/step); seeds reproducible "
                         "within an impl only")
+    p.add_argument("--output-dtype", default="int16",
+                   choices=("int16", "float32"),
+                   help="'int16' converts to PCM on device (half the "
+                        "device->host fetch; WAV output is 16-bit anyway); "
+                        "'float32' keeps fp32 npy responses")
     args = p.parse_args(argv)
 
     enable_compile_cache()
@@ -626,6 +650,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue, sampler_mode=args.sampler_mode,
         default_use_gdm=(args.diffusion == "gdm"), rng_impl=args.rng,
+        output_dtype=args.output_dtype,
     )
     print(f"jen1-serve listening on {args.host}:{httpd.server_address[1]}")
     try:

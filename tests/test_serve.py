@@ -37,14 +37,17 @@ class FakeJen1:
 
     def generate(self, prompts, seed=-1, steps=100, batch_size=1,
                  seconds=30.0, use_gdm=False, sampler_mode="scan",
-                 rng_impl="rbg"):
+                 rng_impl="rbg", output_dtype="float32"):
         time.sleep(self.delay)
         self.calls.append({"prompts": list(prompts), "seed": seed,
-                           "sampler_mode": sampler_mode})
+                           "sampler_mode": sampler_mode,
+                           "output_dtype": output_dtype})
         t = int(seconds * self.sample_rate)
         audio = np.zeros((batch_size, 2, t), np.float32)
         audio += float(seed)
         audio += np.arange(batch_size, dtype=np.float32)[:, None, None] / 100.0
+        if output_dtype == "int16":
+            audio = (np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
         return audio
 
 
@@ -101,6 +104,26 @@ class TestGenerationService:
         audio = service.submit("solo", use_gdm=True, timeout=600)
         assert audio.ndim == 2 and audio.shape[0] == 2
         assert service.stats["padded_lanes"] >= 2  # 1 request in a batch of 3
+
+    def test_output_dtype_flows_to_generate(self):
+        """output_dtype='int16' reaches generate() and submit returns the
+        int16 audio unchanged; _wav_bytes accepts it as passthrough."""
+        from jen1_tpu.serve import GenerationService, _wav_bytes
+
+        fake = FakeJen1()
+        svc = GenerationService(fake, max_batch=1, max_wait_ms=10.0,
+                                default_seconds=2.0, default_steps=2,
+                                output_dtype="int16")
+        try:
+            audio = svc.submit("pcm please", seed=0, timeout=60)
+        finally:
+            svc.close()
+        assert audio.dtype == np.int16
+        assert fake.calls[-1]["output_dtype"] == "int16"
+        # int16 passthrough produces byte-identical WAV to the float path
+        f = np.linspace(-1.2, 1.2, 64, dtype=np.float32).reshape(2, 32)
+        ints = (np.clip(f, -1, 1) * 32767.0).astype(np.int16)
+        assert _wav_bytes(ints, 1600) == _wav_bytes(f, 1600)
 
     def test_error_reported_not_swallowed(self, service):
         with pytest.raises((RuntimeError, TimeoutError)):
