@@ -13,7 +13,7 @@ Writes benchmarks/COMPOSER_TPU.md.
 
 Run: python benchmarks/composer_bench.py
      JEN1_COMPOSER_TRACKS=2,4 JEN1_COMPOSER_STEPS=100
-     JEN1_COMPOSER_SKIP_TRAIN=1  # gen-only: skips the >25-min train-step
+     JEN1_COMPOSER_SKIP_TRAIN=1  # gen-only: skips the ~11-min train-step
                                  # compile (the only way to finish on hosts
                                  # whose session cap is below that wall)
 """
@@ -47,10 +47,11 @@ def bench_tracks(n_tracks: int, steps: int):
     row = {"n_tracks": n_tracks}
 
     # ---- train step at the composer batch (B=4 tasks x 10 s).
-    # JEN1_COMPOSER_SKIP_TRAIN=1 skips this phase: the fwd+bwd+fused-AdamW
-    # graph at 305M params compiles for >25 min on this host (measured
-    # 2026-08-19 — killed mid-compile), while the gen-only sampler program
-    # is in the proven ~3-7 min class.
+    # JEN1_COMPOSER_SKIP_TRAIN=1 skips this phase for low-budget hosts: the
+    # fwd+bwd+fused-AdamW graph at 305M params compiled in 666 s once the
+    # r3 dense-literal weight captures were fixed (the earlier ">25 min,
+    # killed" was that defect, not program size); the gen-only sampler
+    # program is the ~2-3 min class.
     if os.environ.get("JEN1_COMPOSER_SKIP_TRAIN") == "1":
         row["train_skipped"] = "compile-gated (>25 min train-step compile)"
     else:
@@ -213,11 +214,9 @@ def main():
     if any("train_skipped" in r for r in rows):
         lines += [
             "",
-            "\\* train-step compile-gated on this host: the fwd+bwd+fused-"
-            "AdamW program at this size compiled for >25 min (2026-08-19, "
-            "killed at cap); generation is the measured identity. Re-run "
-            "without `JEN1_COMPOSER_SKIP_TRAIN=1` with a >30 min budget "
-            "for the train column.",
+            "\\* train-step skipped on this run (JEN1_COMPOSER_SKIP_TRAIN=1;"
+            " the fwd+bwd+fused-AdamW compile measured ~11 min at 305M "
+            "params). Re-run without the flag for the train column.",
         ]
     skip_prefix = ("JEN1_COMPOSER_SKIP_TRAIN=1 "
                    if any("train_skipped" in r for r in rows) else "")

@@ -95,21 +95,72 @@ def main():
         "global_cond": None,
         "input_concat_cond": concat,
     }
-    raw = lambda p, rng: gdm.sample(  # noqa: E731
-        lambda x, t, **kw: model_fn_p(p, x, t, **kw),
-        (B, L, C), cond, rng, causal=False, mode="scan")
-    prog = jax.jit(lambda p, rng: (
-        lambda o: (o, jnp.sum(o.astype(jnp.float32))))(raw(p, rng)))
+    # JEN1_LONGFORM_FWD_ONLY=1: ONE denoiser forward instead of the
+    # steps-scan — a crash-bisection mode (the 5-min scan reproducibly
+    # crashed the TPU worker on first execution, 2026-08-19; a single
+    # forward compiles in minutes and isolates whether the per-step
+    # program or the scan is at fault).
+    if os.environ.get("JEN1_LONGFORM_FWD_ONLY") == "1":
+        emb_s = 0.8
 
-    t0 = time.time()
-    lat, chk = prog(params, jax.random.PRNGKey(0))
-    float(chk)
-    compile_s = time.time() - t0
-    print(f"compile+first sample: {compile_s:.1f}s", flush=True)
-    t0 = time.time()
-    lat, chk = prog(params, jax.random.PRNGKey(1))
-    float(chk)
-    wall = time.time() - t0
+        def fwd(p, xin):
+            o = model_fn_p(p, xin, jnp.zeros((B,), jnp.float32),
+                           embedding=emb, embedding_mask=mask,
+                           channels_list=[concat], embedding_scale=emb_s,
+                           batch_cfg=True, scale_cfg=True, causal=False)
+            return o, jnp.sum(o.astype(jnp.float32))
+
+        prog_fwd = jax.jit(fwd)
+        t0 = time.time()
+        _, chk = prog_fwd(params, jnp.zeros((B, L, C), jnp.bfloat16))
+        float(chk)
+        print(f"[fwd-only] compile+first forward: {time.time() - t0:.1f}s "
+              f"OK", flush=True)
+        t0 = time.time()
+        _, chk = prog_fwd(params, jnp.ones((B, L, C), jnp.bfloat16) * 0.01)
+        float(chk)
+        print(f"[fwd-only] steady forward: {time.time() - t0:.3f}s",
+              flush=True)
+        return
+    # Sampler mode: 'scan' = whole loop in one XLA program; 'stepwise' = the
+    # shipped per-step-jit sampler (gdm.ddim_sample_stepwise). At the 5-min
+    # window the scan program compiles but CRASHES the TPU worker on first
+    # execution (reproduced twice, 2026-08-19) while the identical per-step
+    # forward runs fine (JEN1_LONGFORM_FWD_ONLY probe: 0.668 s steady) — so
+    # stepwise is the default here; JEN1_LONGFORM_SAMPLER=scan re-tests.
+    sampler = os.environ.get("JEN1_LONGFORM_SAMPLER", "stepwise")
+    if sampler == "stepwise":
+        def run(seed):
+            return gdm.sample(
+                model_fn_p, (B, L, C), cond, jax.random.PRNGKey(seed),
+                causal=False, mode="stepwise", model_params=params)
+
+        t0 = time.time()
+        lat = run(0)
+        np.asarray(lat[:, :8, :8])
+        compile_s = time.time() - t0
+        print(f"compile+first sample (stepwise): {compile_s:.1f}s",
+              flush=True)
+        t0 = time.time()
+        lat = run(1)
+        np.asarray(lat[:, :8, :8])
+        wall = time.time() - t0
+    else:
+        raw = lambda p, rng: gdm.sample(  # noqa: E731
+            lambda x, t, **kw: model_fn_p(p, x, t, **kw),
+            (B, L, C), cond, rng, causal=False, mode="scan")
+        prog = jax.jit(lambda p, rng: (
+            lambda o: (o, jnp.sum(o.astype(jnp.float32))))(raw(p, rng)))
+
+        t0 = time.time()
+        lat, chk = prog(params, jax.random.PRNGKey(0))
+        float(chk)
+        compile_s = time.time() - t0
+        print(f"compile+first sample: {compile_s:.1f}s", flush=True)
+        t0 = time.time()
+        lat, chk = prog(params, jax.random.PRNGKey(1))
+        float(chk)
+        wall = time.time() - t0
     finite = bool(np.isfinite(np.asarray(lat[:, :8, :8], np.float32)).all())
     audio_s = minutes * 60
     print(f"steady-state: {wall:.1f}s for {audio_s:.0f}s audio "
@@ -123,8 +174,9 @@ def main():
 
 Device: {dev.device_kind}. ONE continuous {minutes:.0f}-minute window
 (latent L={L}, level-1 attention N={n_attn}) sampled with {steps} DDIM
-steps through `longform_config` with the streamed-K/V Pallas flash kernel
-(`ops/flash_attention.py`).
+steps (sampler mode: {sampler}) through `longform_config` with the
+streamed-K/V Pallas flash kernel (`ops/flash_attention.py`), weights
+passed as program arguments.
 
 Why this config exists: the XLA attention path materializes
 (B=2, H=8, N, N) fp32 scores = **{scores_gb:.1f} GB** at this window —
@@ -140,7 +192,14 @@ state. Long windows avoid `generate_long`'s cross-window seams entirely.
 | output finite | {finite} |
 
 Reproduce: `JEN1_LONGFORM_MINUTES={minutes:.0f} JEN1_LONGFORM_STEPS={steps}
-python benchmarks/longform_window_bench.py`
+JEN1_LONGFORM_SAMPLER={sampler} python benchmarks/longform_window_bench.py`
+
+Sampler-mode note: the whole-loop scan program at this window compiles but
+crashed the TPU worker on first execution (reproduced twice, 2026-08-19)
+while the identical single forward runs fine (0.668 s steady,
+JEN1_LONGFORM_FWD_ONLY=1) — stepwise (one jitted forward + host loop) is
+therefore the measured configuration; per-step dispatch latency is included
+in the walls above.
 """)
     print(f"wrote {out}", flush=True)
 
