@@ -62,6 +62,12 @@ class GDMConfig:
     # seed-parity testing against the PyTorch reference.
     uniform_noise_compat: bool = False
     dropout_during_sampling: bool = False
+    # DDIM sampling step count (None = full `steps`-step DDPM). Honored by
+    # create_gaussian_diffusion when its sampling_steps argument is None —
+    # previously setting this attribute was a silent no-op (it wasn't a
+    # declared field and the factory ignored it), which made two benchmarks
+    # unknowingly sample the full 1000-step DDPM chain.
+    sampling_timesteps: Optional[int] = None
 
 
 @dataclass

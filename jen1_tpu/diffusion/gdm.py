@@ -669,9 +669,16 @@ class GaussianDiffusion:
 def create_gaussian_diffusion(
     gdm_config, sampling_steps: Optional[int] = None
 ) -> GaussianDiffusion:
-    """Factory (reference: utils/script_util.py:216-249)."""
+    """Factory (reference: utils/script_util.py:216-249).
+
+    sampling_steps: DDIM step count; when None, falls back to the config's
+    own `sampling_timesteps` field (None there too = full-steps DDPM).
+    Before round 4 the config field was silently ignored — two benchmarks
+    that set it unknowingly sampled the full 1000-step DDPM chain."""
     from jen1_tpu.diffusion.schedules import get_beta_schedule
 
+    if sampling_steps is None:
+        sampling_steps = getattr(gdm_config, "sampling_timesteps", None)
     betas, alphas = get_beta_schedule(gdm_config.noise_schedule, gdm_config.steps)
     return GaussianDiffusion(
         steps=gdm_config.steps,

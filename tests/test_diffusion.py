@@ -369,3 +369,25 @@ class TestEncoderReuse:
         assert bool(jnp.all(jnp.isfinite(fast)))
         rel = float(jnp.linalg.norm(fast - full) / jnp.linalg.norm(full))
         assert 0.0 < rel < 1.0, f"dpm++ encoder-reuse diverged: rel={rel:.3f}"
+
+
+class TestFactorySamplingSteps:
+    def test_config_sampling_timesteps_honored(self):
+        """create_gaussian_diffusion must honor the config's own
+        sampling_timesteps field when no explicit argument is given —
+        before round 4 it was silently ignored and callers unknowingly
+        sampled the full 1000-step DDPM chain."""
+        from jen1_tpu.config import GDMConfig
+        from jen1_tpu.diffusion.gdm import create_gaussian_diffusion
+
+        cfg = GDMConfig(steps=1000, sampling_timesteps=20)
+        gdm = create_gaussian_diffusion(cfg)
+        assert gdm.sampling_timesteps == 20 and gdm.is_ddim_sampling
+
+        # explicit argument still wins
+        gdm2 = create_gaussian_diffusion(cfg, sampling_steps=50)
+        assert gdm2.sampling_timesteps == 50
+
+        # default: full-steps DDPM
+        gdm3 = create_gaussian_diffusion(GDMConfig(steps=100))
+        assert gdm3.sampling_timesteps == 100 and not gdm3.is_ddim_sampling
