@@ -77,7 +77,25 @@ def main():
             jax.random.PRNGKey(0),
         ),
     )
-    params = zeros_like_shapes(shapes)
+    # ONE jitted program draws N(0, 0.02) for every leaf: zeros weights make
+    # the CFG std-rescale 0/0 (scale_cfg divides by the conditional output's
+    # std) so the sampled window would be all-NaN and the doc's finite check
+    # meaningless; random weights keep every wall honest AND finite. Still
+    # one device program (per-leaf host RNG + device_put of 300M params
+    # costs minutes through the tunnel).
+    def _init(key):
+        leaves, treedef = jax.tree.flatten(
+            shapes, is_leaf=lambda x: hasattr(x, "shape")
+        )
+        keys = jax.random.split(key, len(leaves))
+        vals = [
+            0.02 * jax.random.normal(k, s.shape, s.dtype)
+            for k, s in zip(keys, leaves)
+        ]
+        return jax.tree.unflatten(treedef, vals)
+
+    params = jax.jit(_init)(jax.random.PRNGKey(7))
+    del zeros_like_shapes  # imported for parity with bench.py; unused now
 
     # weights as a program ARGUMENT (value-independent timing; captured
     # weights lower as module constants — benchmarks/hlo_compare_probe.py)
@@ -122,13 +140,13 @@ def main():
         print(f"[fwd-only] steady forward: {time.time() - t0:.3f}s",
               flush=True)
         return
-    # Sampler mode: 'scan' = whole loop in one XLA program; 'stepwise' = the
-    # shipped per-step-jit sampler (gdm.ddim_sample_stepwise). At the 5-min
-    # window the scan program compiles but CRASHES the TPU worker on first
-    # execution (reproduced twice, 2026-08-19) while the identical per-step
-    # forward runs fine (JEN1_LONGFORM_FWD_ONLY probe: 0.668 s steady) — so
-    # stepwise is the default here; JEN1_LONGFORM_SAMPLER=scan re-tests.
-    sampler = os.environ.get("JEN1_LONGFORM_SAMPLER", "stepwise")
+    # Sampler mode: 'scan' (default; whole loop in one XLA program) or
+    # 'stepwise' (the shipped per-step-jit sampler). History: the first 5-min
+    # attempts "crashed the TPU worker" — that was the sampling_timesteps
+    # config bug (the run executed the FULL 1000-step DDPM chain, an ~11 min
+    # uninterrupted device execution the worker kills), not the scan or the
+    # flash kernel; the real 20-step scan runs in 1.3 s.
+    sampler = os.environ.get("JEN1_LONGFORM_SAMPLER", "scan")
     if sampler == "stepwise":
         def run(seed):
             return gdm.sample(
@@ -194,12 +212,12 @@ state. Long windows avoid `generate_long`'s cross-window seams entirely.
 Reproduce: `JEN1_LONGFORM_MINUTES={minutes:.0f} JEN1_LONGFORM_STEPS={steps}
 JEN1_LONGFORM_SAMPLER={sampler} python benchmarks/longform_window_bench.py`
 
-Sampler-mode note: the whole-loop scan program at this window compiles but
-crashed the TPU worker on first execution (reproduced twice, 2026-08-19)
-while the identical single forward runs fine (0.668 s steady,
-JEN1_LONGFORM_FWD_ONLY=1) — stepwise (one jitted forward + host loop) is
-therefore the measured configuration; per-step dispatch latency is included
-in the walls above.
+History note: the first 5-min attempts appeared to crash the TPU worker.
+Root cause was the GDMConfig.sampling_timesteps silent no-op (fixed in
+round 4): those runs executed the FULL 1000-step DDPM chain — an ~11 min
+uninterrupted device execution the worker kills — not a scan or flash
+kernel fault (a single forward ran fine: 0.668 s steady,
+JEN1_LONGFORM_FWD_ONLY=1).
 """)
     print(f"wrote {out}", flush=True)
 
