@@ -66,8 +66,8 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
 def load_audio(
     path: str, start_frame: int = 0, num_frames: Optional[int] = None
 ) -> Tuple[np.ndarray, int]:
-    """Read any supported format: WAV/FLAC/MP3 via the native C++ decoders
-    (native/wavio.cpp, native/flacio.cpp, native/mp3io.cpp) when built, else
+    """Read any supported format: WAV/FLAC/MP3/OGG via the native C++
+    decoders (native/{wavio,flacio,mp3io,oggio}.cpp) when built, else
     stdlib (WAV), else soundfile/torchaudio."""
     if path.lower().endswith(".mp3"):
         try:
@@ -75,6 +75,14 @@ def load_audio(
 
             if native_io.mp3_available():
                 return native_io.mp3_read(path, start_frame, num_frames)
+        except Exception:
+            pass
+    if path.lower().endswith((".ogg", ".oga")):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.ogg_available():
+                return native_io.ogg_read(path, start_frame, num_frames)
         except Exception:
             pass
     if path.lower().endswith(".flac"):
@@ -132,6 +140,15 @@ def get_duration_sec(path: str) -> float:
 
             if native_io.mp3_available():
                 sr, _, frames = native_io.mp3_info(path)
+                return frames / sr
+        except Exception:
+            pass
+    if path.lower().endswith((".ogg", ".oga")):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.ogg_available():
+                sr, _, frames = native_io.ogg_info(path)
                 return frames / sr
         except Exception:
             pass

@@ -304,6 +304,102 @@ def mp3_read(
     return out, sr
 
 
+_OGG_SRC = os.path.join(_REPO_ROOT, "native", "oggio.cpp")
+_OGG_LIB = os.path.join(_LIB_DIR, "libjen1oggio.so")
+_ogg_lib: Optional[ctypes.CDLL] = None
+_ogg_failed = False
+
+
+def get_ogg_lib() -> Optional[ctypes.CDLL]:
+    """oggio shim: decodes through the system libvorbisfile (dlopen'ed at
+    runtime by native/oggio.cpp — no dev headers or link-time dep). Returns
+    None when g++ or libvorbisfile is unavailable."""
+    global _ogg_lib, _ogg_failed
+    with _lock:
+        if _ogg_lib is not None or _ogg_failed:
+            return _ogg_lib
+        if not os.path.exists(_OGG_LIB) or os.path.getmtime(
+            _OGG_LIB
+        ) < os.path.getmtime(_OGG_SRC):
+            os.makedirs(_LIB_DIR, exist_ok=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _OGG_LIB,
+                     _OGG_SRC, "-ldl"],
+                    check=True,
+                    capture_output=True,
+                )
+            except Exception:
+                _ogg_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_OGG_LIB)
+        except OSError:
+            _ogg_failed = True
+            return None
+        lib.jen1_ogg_available.argtypes = []
+        lib.jen1_ogg_available.restype = ctypes.c_int
+        lib.jen1_ogg_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.jen1_ogg_info.restype = ctypes.c_int
+        lib.jen1_ogg_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.jen1_ogg_read.restype = ctypes.c_int64
+        if lib.jen1_ogg_available() != 1:  # libvorbisfile missing at runtime
+            _ogg_failed = True
+            return None
+        _ogg_lib = lib
+        return _ogg_lib
+
+
+def ogg_available() -> bool:
+    return get_ogg_lib() is not None
+
+
+def ogg_info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, channels, num_frames); raises on failure."""
+    lib = get_ogg_lib()
+    assert lib is not None, "native oggio unavailable"
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.jen1_ogg_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch),
+                           ctypes.byref(frames))
+    if rc != 0:
+        raise IOError(f"jen1_ogg_info({path}) failed: {rc}")
+    return sr.value, ch.value, frames.value
+
+
+def ogg_read(
+    path: str, start_frame: int = 0, num_frames: Optional[int] = None
+) -> Tuple[np.ndarray, int]:
+    """Decode to (frames, channels) float32; zero-padded past EOF.
+    Sample-accurate seeks via the Ogg page granule positions."""
+    lib = get_ogg_lib()
+    assert lib is not None, "native oggio unavailable"
+    sr, ch, total = ogg_info(path)
+    if num_frames is None:
+        num_frames = max(total - start_frame, 0)
+    out = np.empty((num_frames, ch), np.float32)
+    rc = lib.jen1_ogg_read(
+        path.encode(),
+        ctypes.c_int64(start_frame),
+        ctypes.c_int64(num_frames),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise IOError(f"jen1_ogg_read({path}) failed: {rc}")
+    return out, sr
+
+
 def wav_read_batch(
     paths: Sequence[str], starts: Sequence[int], frames: int, channels: int
 ) -> np.ndarray:
