@@ -1,162 +1,92 @@
-"""Train-step benchmark where the Pallas flash-attention BACKWARD engages.
+"""Flash attention UNDER GRAD: long-window train step, Pallas vs XLA
+(VERDICT r3 next-#8).
 
-VERDICT r3 next-#8: the streamed-K/V kernel's O(N)-memory backward
-(ops/flash_attention.py) was parity-tested but no shipped training config
-reached it — the flagship config's attention lives at cumulative
-downsample >=64, under flash_min_seq_len. This bench runs the REAL
-multi-task train step (grad + fused AdamW) on `longform_config()` — level-1
-attention over L/4 frames — at a sequence length where the kernel threshold
-(1024) is crossed, with flash ON vs OFF (the XLA dot-product path), same
-everything else.
+The streamed-K/V Pallas kernel and its recompute backward
+(ops/flash_attention.py) are parity-tested and measured forward-only to
+N=45k, but the flagship 10 s training window's level-1 attention is
+N=375 — below flash_min_seq_len=1024 — so no shipped TRAIN path ever ran
+the Pallas backward. This bench trains on long windows where it engages:
 
-Reports per variant: step wall (host fetch of the loss), audio-s/s/chip,
-peak HBM, and the on/off loss agreement at identical rng (sanity that the
-kernel's forward+backward compute the same math).
+  * 60 s window  (L=9000,  level-1 N=2250): both lowerings fit -> honest A/B
+    of the full train step (fwd + Pallas/XLA attention backward + fused
+    AdamW), identical methodology to TRAIN_STEP_TPU.md (honest loss-fetch
+    walls, remat off).
+  * 240 s window (L=36000, level-1 N=9000): XLA's (B,H,N,N) scores get
+    very large — the flash-favored existence row (XLA may OOM; both
+    attempted, whatever happens is recorded).
+
+B must be a multiple of the task count (3: text_guided / inpaint /
+continuation — trainer.py asserts divisibility).
 
 Run: python benchmarks/flash_train_bench.py
-     JEN1_FLASH_TRAIN_SECONDS=30 JEN1_FLASH_TRAIN_BATCH=3
-
-Writes benchmarks/FLASH_TRAIN_TPU.md.
+     [JEN1_FLASH_TRAIN_POINTS="60:6,240:3" seconds:batch]
+Appends a section to benchmarks/FLASH_E2E_TPU.md.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
-
-
-def bench_variant(use_flash: bool, B: int, seconds: float):
-    from benchmarks.train_step_bench import build_state, mem_stats
-    from jen1_tpu.config import longform_config
-    from jen1_tpu.diffusion.gdm import create_gaussian_diffusion
-    from jen1_tpu.models.unet import unet_from_model_config
-    from jen1_tpu.train.trainer import UnifiedMultiTaskTrainer
-
-    dev = jax.devices()[0]
-    cfg = longform_config()
-    cfg.grad_accum_every = 1
-    cfg.model_config = dataclasses.replace(
-        cfg.model_config, use_flash_attention=use_flash
-    )
-    mc = cfg.model_config
-    L = int(seconds * 150)  # level-1 attention length = L/4
-    model = unet_from_model_config(mc)
-    gdm = create_gaussian_diffusion(cfg.diffusion_config.gaussian_diffusion)
-    trainer = UnifiedMultiTaskTrainer(cfg, model, gdm)
-
-    rng = np.random.default_rng(0)
-    batch = {
-        "latents": jnp.asarray(
-            rng.normal(size=(B, L, mc.in_channels)), jnp.float32),
-        "text_emb": jnp.asarray(
-            rng.normal(size=(B, mc.context_embedding_max_length,
-                             mc.context_embedding_features)), jnp.bfloat16),
-        "text_mask": jnp.ones((B, mc.context_embedding_max_length), bool),
-    }
-    state = build_state(trainer, model, mc, batch, B, L)
-
-    class Coin:  # one causal variant -> one compile
-        def integers(self, a, b):
-            return 0
-
-    host_rng = Coin()
-    row = {"flash": use_flash, "B": B, "L": L,
-           "attn_len": L // 4,
-           "params": sum(v.size for v in jax.tree.leaves(state.params))}
-    t0 = time.time()
-    try:
-        state, m = trainer.train_step(state, batch, jax.random.PRNGKey(1),
-                                      host_rng)
-        row["loss0"] = float(m["loss/train"])
-    except Exception as e:  # noqa: BLE001 — OOM is a result here
-        row["oom"] = type(e).__name__
-        print(f"ERROR flash={use_flash}: {e}", flush=True)
-        return row
-    row["compile_s"] = round(time.time() - t0, 1)
-    times = []
-    for i in range(5):
-        t0 = time.time()
-        state, m = trainer.train_step(
-            state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i),
-            host_rng)
-        float(m["loss/train"])
-        times.append(time.time() - t0)
-    row["step_s"] = round(min(times[1:]), 3)
-    row["audio_s_per_s"] = round(B * seconds / row["step_s"], 1)
-    row["mem"] = mem_stats(dev)
-    return row
 
 
 def main():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from jen1_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    from benchmarks.train_step_bench import bench_point
+
     dev = jax.devices()[0]
-    B = int(os.environ.get("JEN1_FLASH_TRAIN_BATCH", "3"))
-    seconds = float(os.environ.get("JEN1_FLASH_TRAIN_SECONDS", "30"))
-    print(f"device: {dev.device_kind} B={B} seconds={seconds} "
-          f"(attn len {int(seconds * 150) // 4} at level 1)", flush=True)
-
+    points = [
+        (float(p.split(":")[0]), int(p.split(":")[1]))
+        for p in os.environ.get(
+            "JEN1_FLASH_TRAIN_POINTS", "60:6,240:3").split(",")
+    ]
+    print(f"device: {dev.device_kind} points={points}", flush=True)
     rows = []
-    for use_flash in (True, False):
-        print(f"--- flash={use_flash}", flush=True)
-        r = bench_variant(use_flash, B, seconds)
-        print(r, flush=True)
-        rows.append(r)
+    for seconds, B in points:
+        for flash in ("on", "off"):
+            os.environ["JEN1_TRAIN_BENCH_FLASH"] = flash
+            label = f"{seconds:.0f}s B={B} flash={flash}"
+            print(f"--- {label} (level-1 N={int(seconds * 150 / 4)})",
+                  flush=True)
+            try:
+                r = bench_point(B, remat=False, seconds=seconds, fused=True)
+            except Exception as e:  # noqa: BLE001 — OOM is a result here
+                r = {"oom": f"{type(e).__name__}"}
+            r.update(seconds=seconds, B=B, flash=flash)
+            print(r, flush=True)
+            rows.append(r)
 
-    lines = [
-        "# Flash-attention backward under grad — real-TPU train step",
-        "",
-        f"Device: {dev.device_kind}. `longform_config()` (level-1 attention"
-        f" over L/4 frames), B={B} x {seconds:.0f} s clips, full multi-task"
-        " train step (causal-grouped CFG forwards + grad + fused AdamW,"
-        " donated state). flash=True runs the streamed-K/V Pallas kernel"
-        " with its Pallas recompute backward (ops/flash_attention.py);"
-        " flash=False is the XLA dot-product attention, same config"
-        " otherwise. Timing = host fetch of the loss scalar.",
-        "",
-        "| flash | attn len | step s | audio-s/s/chip | peak HBM GB |"
-        " loss (same rng) | compile s |",
-        "|---|---|---|---|---|---|---|",
-    ]
-    for r in rows:
-        if "oom" in r:
-            lines.append(f"| {r['flash']} | {r['attn_len']} | OOM"
-                         f" ({r['oom']}) | — | — | — | — |")
-        else:
-            mem = r["mem"]
-            mem_s = f"{mem['peak_gb']:.1f}" if mem else "n/a"
-            lines.append(
-                f"| {r['flash']} | {r['attn_len']} | {r['step_s']} |"
-                f" {r['audio_s_per_s']} | {mem_s} | {r['loss0']:.5f} |"
-                f" {r['compile_s']:.0f} |")
-    ok = [r for r in rows if "oom" not in r]
-    if len(ok) == 2:
-        dl = abs(ok[0]["loss0"] - ok[1]["loss0"])
-        rel = dl / max(abs(ok[1]["loss0"]), 1e-9)
-        lines += [
-            "",
-            f"Loss agreement at identical rng: |Δ| = {dl:.2e}"
-            f" (rel {rel:.2e}) — the kernel computes the same math as the"
-            " XLA path under grad (unit parity: tests/test_flash_attention).",
-        ]
-    lines += [
-        "",
-        f"Reproduce: `JEN1_FLASH_TRAIN_BATCH={B}"
-        f" JEN1_FLASH_TRAIN_SECONDS={seconds:.0f}"
-        " python benchmarks/flash_train_bench.py`",
-    ]
-    out = os.path.join(os.path.dirname(__file__), "FLASH_TRAIN_TPU.md")
-    with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}", flush=True)
+    out = os.path.join(os.path.dirname(__file__), "FLASH_E2E_TPU.md")
+    with open(out, "a") as f:
+        f.write("""
+## Training with the Pallas backward engaged (long windows)
+
+Full multi-task train step (remat off, fused AdamW, honest loss-fetch
+walls) at windows whose level-1 attention length exceeds
+flash_min_seq_len=1024, so the streamed-K/V Pallas kernel AND its
+recompute backward run under grad — vs the same step with
+use_flash_attention=False (XLA's materialized (B,H,N,N) scores):
+
+| window | B | level-1 N | attention | compile | s/step | audio-s trained /s/chip |
+|---|---|---|---|---|---|---|
+""")
+        for r in rows:
+            n1 = int(r["seconds"] * 150 / 4)
+            att = "Pallas flash" if r["flash"] == "on" else "XLA"
+            if "best_s" not in r:
+                f.write(f"| {r['seconds']:.0f} s | {r['B']} | {n1} | {att} "
+                        f"| — | — | {r.get('oom')} |\n")
+                continue
+            f.write(f"| {r['seconds']:.0f} s | {r['B']} | {n1} | {att} "
+                    f"| {r['compile_s']:.0f} s | {r['best_s']:.3f} "
+                    f"| {r['audio_s_per_s']:.0f} |\n")
+        f.write("\nReproduce: `python benchmarks/flash_train_bench.py`\n")
+    print(f"appended to {out}", flush=True)
 
 
 if __name__ == "__main__":

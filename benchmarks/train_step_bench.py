@@ -109,6 +109,14 @@ def bench_point(B: int, remat: bool, seconds: float = 10.0,
     import dataclasses
 
     cfg.model_config = dataclasses.replace(cfg.model_config, remat=remat)
+    # JEN1_TRAIN_BENCH_FLASH=on|off overrides use_flash_attention (the
+    # default config enables it above flash_min_seq_len=1024, which the 10 s
+    # window never reaches; benchmarks/flash_train_bench.py uses this to A/B
+    # the Pallas kernel + backward under grad at long-window lengths).
+    flash_env = os.environ.get("JEN1_TRAIN_BENCH_FLASH")
+    if flash_env in ("on", "off"):
+        cfg.model_config = dataclasses.replace(
+            cfg.model_config, use_flash_attention=flash_env == "on")
     L = int(seconds * 150)
     mc = cfg.model_config
 
