@@ -50,6 +50,10 @@ def main():
 
     if tiny:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from jen1_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     import dataclasses
 
     import jax.numpy as jnp

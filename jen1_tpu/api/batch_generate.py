@@ -32,6 +32,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", type=int, default=1,
                    help="shard each batch over this many devices")
+    p.add_argument("--weights-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="'bfloat16' halves weight HBM + upload "
+                        "(compute-identical under bf16 compute)")
     args = p.parse_args()
 
     from jen1_tpu.utils.compile_cache import enable_compile_cache
@@ -49,7 +53,7 @@ def main():
     assert prompts, f"no prompts in {args.prompts}"
     os.makedirs(args.out, exist_ok=True)
 
-    jen = Jen1(args.ckpt, config=config)
+    jen = Jen1(args.ckpt, config=config, weights_dtype=args.weights_dtype)
     if args.dp > 1:
         from jen1_tpu.parallel.mesh import make_mesh
 

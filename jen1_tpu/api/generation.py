@@ -60,6 +60,7 @@ class Jen1:
         codec=None,
         conditioner=None,
         use_ema_params: bool = False,
+        weights_dtype: Optional[str] = None,
     ):
         self.ckpt_path = ckpt_path
         self.sample_rate = sample_rate
@@ -67,6 +68,19 @@ class Jen1:
         # sample from the EMA weights (standard for diffusion) when the
         # checkpoint carries them (TrainState.ema_params, use_ema training)
         self.use_ema_params = use_ema_params
+        # weights_dtype="bfloat16": store the UNet's matrix weights
+        # (ndim>=2 leaves — ~all of the 303.5M params) in bf16 on device,
+        # halving weight HBM residency and host->device transfer. Compute
+        # is BIT-IDENTICAL to fp32 storage when compute_dtype is bf16: the
+        # ops cast kernels to the activation dtype at use anyway
+        # (ops/linear.py:31, ops/conv.py:62), so this removes the fp32
+        # master copy, not precision. Leaves consumed in fp32 stay fp32:
+        # vectors (biases, norm scales/offsets, Snake alphas — ops/norm.py,
+        # ops/snake.py) and the FiLM mapping head's kernels (see
+        # _load_params). Verified bit-exact: tests/test_api.py
+        # TestWeightsDtype::test_bf16_compute_identity.
+        assert weights_dtype in (None, "float32", "bfloat16"), weights_dtype
+        self.weights_dtype = weights_dtype
         self.cross_attn_cond_ids = tuple(cross_attn_cond_ids)
         self.global_cond_ids = tuple(global_cond_ids)
         self.input_concat_ids = tuple(input_concat_ids)
@@ -198,6 +212,26 @@ class Jen1:
             else:
                 params = state["params"] if "params" in state else state
             self._params = {"params": params}
+        if self.weights_dtype == "bfloat16":
+            # The FiLM mapping head (to_time/to_features/to_mapping_*) runs
+            # in fp32 BEFORE the cast to compute dtype (models/unet.py
+            # _get_mapping) — keep its kernels fp32 so bf16 storage stays
+            # bit-identical to fp32 storage under bf16 compute.
+            fp32_keep = ("to_time", "to_features", "to_mapping")
+
+            def cast(path, v):
+                if getattr(v, "ndim", 0) < 2:
+                    return v
+                if not jnp.issubdtype(v.dtype, jnp.floating):
+                    return v
+                keys = "/".join(str(getattr(k, "key", k)) for k in path)
+                if any(s in keys for s in fp32_keep):
+                    return v
+                return v.astype(jnp.bfloat16)
+
+            self._params = jax.tree_util.tree_map_with_path(
+                cast, self._params
+            )
         return self._params
 
     def _get_diffusion(self, steps: int, use_gdm: bool):

@@ -640,11 +640,17 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="'int16' converts to PCM on device (half the "
                         "device->host fetch; WAV output is 16-bit anyway); "
                         "'float32' keeps fp32 npy responses")
+    p.add_argument("--weights-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="'bfloat16' stores matrix weights bf16 on device "
+                        "(halves weight HBM + upload; compute-identical "
+                        "when compute is bf16 — kernels are cast to the "
+                        "activation dtype at use anyway)")
     args = p.parse_args(argv)
 
     enable_compile_cache()
     config = Config.from_json(args.config) if args.config else Config()
-    jen1 = Jen1(args.ckpt, config=config)
+    jen1 = Jen1(args.ckpt, config=config, weights_dtype=args.weights_dtype)
     httpd = serve(
         jen1, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,

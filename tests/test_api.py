@@ -226,6 +226,66 @@ class TestBatchAndMesh:
 
 
 @pytest.mark.slow
+class TestWeightsDtype:
+    """Jen1(weights_dtype="bfloat16"): matrix weights stored bf16 on device
+    (halves weight HBM + upload); vector leaves stay fp32."""
+
+    def _mk(self, jen1, weights_dtype, compute_dtype):
+        import copy
+
+        cfg = copy.deepcopy(jen1.config)
+        cfg.model_config = __import__("dataclasses").replace(
+            cfg.model_config, dtype=compute_dtype)
+        return Jen1(ckpt_path=None, sample_rate=1600, config=cfg,
+                    codec=jen1.codec, conditioner=jen1.conditioner,
+                    weights_dtype=weights_dtype)
+
+    def test_leaf_dtypes(self, jen1):
+        import jax.numpy as jnp
+
+        j = self._mk(jen1, "bfloat16", "float32")
+        params = j._load_params(latent_len=10)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        fp32_keep = ("to_time", "to_features", "to_mapping")
+        mats, keeps, vecs = [], [], []
+        for path, v in flat:
+            if not jnp.issubdtype(v.dtype, jnp.floating):
+                continue
+            keys = "/".join(str(getattr(k, "key", k)) for k in path)
+            if v.ndim < 2:
+                vecs.append(v)
+            elif any(s in keys for s in fp32_keep):
+                keeps.append(v)  # fp32-consumed mapping head stays fp32
+            else:
+                mats.append(v)
+        assert mats and all(v.dtype == jnp.bfloat16 for v in mats)
+        assert keeps and all(v.dtype == jnp.float32 for v in keeps)
+        assert vecs and all(v.dtype == jnp.float32 for v in vecs)
+
+    def test_bf16_compute_identity(self, jen1):
+        """Under bf16 compute, bf16 weight STORAGE is bit-identical to fp32
+        storage: ops cast kernels to the activation dtype at use anyway
+        (ops/linear.py, ops/conv.py)."""
+        a = self._mk(jen1, None, "bfloat16")
+        b = self._mk(jen1, "bfloat16", "bfloat16")
+        kw = dict(seed=7, steps=4, batch_size=1, seconds=1, use_gdm=True)
+        out_a = a.generate("same song", **kw)
+        out_b = b.generate("same song", **kw)
+        assert np.array_equal(out_a, out_b)
+
+    def test_fp32_compute_bounded_drift(self, jen1):
+        """Under fp32 compute, bf16 storage rounds the kernels once: finite
+        output, bounded drift vs fp32 storage."""
+        a = self._mk(jen1, None, "float32")
+        b = self._mk(jen1, "bfloat16", "float32")
+        kw = dict(seed=7, steps=4, batch_size=1, seconds=1, use_gdm=True)
+        out_a = a.generate("same song", **kw)
+        out_b = b.generate("same song", **kw)
+        assert np.isfinite(out_b).all()
+        scale = max(np.abs(out_a).max(), 1e-6)
+        assert np.abs(out_a - out_b).max() / scale < 0.25
+
+
 class TestEMAInference:
     def test_use_ema_params(self, jen1, tmp_path):
         """Jen1(use_ema_params=True) samples from the checkpoint's EMA
