@@ -11,9 +11,12 @@ the Pallas backward. This bench trains on long windows where it engages:
     of the full train step (fwd + Pallas/XLA attention backward + fused
     AdamW), identical methodology to TRAIN_STEP_TPU.md (honest loss-fetch
     walls, remat off).
-  * 240 s window (L=36000, level-1 N=9000): XLA's (B,H,N,N) scores get
-    very large — the flash-favored existence row (XLA may OOM; both
-    attempted, whatever happens is recorded).
+  * 120 s window (L=18000, level-1 N=4500): flash 2.9x on steady state —
+    with both causal variants resident, XLA's materialized (B,H,N,N)
+    scores degrade every step 3x; the Pallas kernel is unaffected.
+    (240 s / N=9000 does not compile on this host: the axon remote
+    compile helper is SIGKILLed for BOTH lowerings — host-side memory,
+    same wall as the 5-min sampling scan.)
 
 B must be a multiple of the task count (3: text_guided / inpaint /
 continuation — trainer.py asserts divisibility).
@@ -43,7 +46,7 @@ def main():
     points = [
         (float(p.split(":")[0]), int(p.split(":")[1]))
         for p in os.environ.get(
-            "JEN1_FLASH_TRAIN_POINTS", "60:6,240:3").split(",")
+            "JEN1_FLASH_TRAIN_POINTS", "60:6,120:3").split(",")
     ]
     print(f"device: {dev.device_kind} points={points}", flush=True)
     rows = []
