@@ -238,6 +238,18 @@ def child_main() -> None:
             rng,
         ),
     )
+    # bf16 weight STORAGE by default — the serving-optimal configuration
+    # (Jen1(weights_dtype="bfloat16")): matrix weights live on device in
+    # bf16, which is BIT-IDENTICAL under bf16 compute (the ops cast kernels
+    # to the activation dtype at use; tests/test_api.py TestWeightsDtype)
+    # and halves the per-forward weight HBM read — the flagship pipeline's
+    # dominant cost now that weights are program arguments. Cast at the
+    # SHAPE level so the fp32 copy is never allocated. JEN1_BENCH_WEIGHTS=
+    # fp32 reverts (the round-4 re-baseline rows used fp32 storage).
+    if os.environ.get("JEN1_BENCH_WEIGHTS", "bf16") == "bf16":
+        from jen1_tpu.api.generation import cast_weights_bf16
+
+        shapes = cast_weights_bf16(shapes)
     params = zeros_like_shapes(shapes)
     jax.block_until_ready(params)
     n_params = sum(v.size for v in jax.tree.leaves(params))

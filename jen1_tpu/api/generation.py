@@ -42,6 +42,39 @@ def _warn(msg: str) -> None:
     warnings.warn(f"jen1_tpu: {msg}", UserWarning, stacklevel=3)
 
 
+def cast_weights_bf16(tree):
+    """bf16 storage for the UNet's matrix weights; fp32-consumed leaves kept.
+
+    Matrix leaves (ndim>=2 floats) become bf16 — under bf16 compute the ops
+    cast kernels to the activation dtype at use (ops/linear.py:31,
+    ops/conv.py:62), so outputs are bit-identical to fp32 storage while the
+    per-forward weight HBM read halves. Vectors (biases, norm scales, Snake
+    alphas) and the FiLM mapping head's kernels (to_time/to_features/
+    to_mapping_*, which run in fp32 BEFORE the compute-dtype cast —
+    models/unet.py _get_mapping) stay fp32.
+
+    Accepts a tree of concrete arrays OR jax.ShapeDtypeStruct (so callers
+    can cast shape trees before materializing — bench.py does this to avoid
+    allocating the fp32 copy at all). Verified bit-exact under bf16 compute:
+    tests/test_api.py TestWeightsDtype.
+    """
+    fp32_keep = ("to_time", "to_features", "to_mapping")
+
+    def cast(path, v):
+        if getattr(v, "ndim", 0) < 2:
+            return v
+        if not jnp.issubdtype(v.dtype, jnp.floating):
+            return v
+        keys = "/".join(str(getattr(k, "key", k)) for k in path)
+        if any(s in keys for s in fp32_keep):
+            return v
+        if isinstance(v, jax.ShapeDtypeStruct):
+            return jax.ShapeDtypeStruct(v.shape, jnp.bfloat16)
+        return v.astype(jnp.bfloat16)
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
 @jax.jit
 def _to_int16(audio: jnp.ndarray) -> jnp.ndarray:
     """float [-1,1] -> 16-bit PCM, on device (halves the host fetch)."""
@@ -213,25 +246,7 @@ class Jen1:
                 params = state["params"] if "params" in state else state
             self._params = {"params": params}
         if self.weights_dtype == "bfloat16":
-            # The FiLM mapping head (to_time/to_features/to_mapping_*) runs
-            # in fp32 BEFORE the cast to compute dtype (models/unet.py
-            # _get_mapping) — keep its kernels fp32 so bf16 storage stays
-            # bit-identical to fp32 storage under bf16 compute.
-            fp32_keep = ("to_time", "to_features", "to_mapping")
-
-            def cast(path, v):
-                if getattr(v, "ndim", 0) < 2:
-                    return v
-                if not jnp.issubdtype(v.dtype, jnp.floating):
-                    return v
-                keys = "/".join(str(getattr(k, "key", k)) for k in path)
-                if any(s in keys for s in fp32_keep):
-                    return v
-                return v.astype(jnp.bfloat16)
-
-            self._params = jax.tree_util.tree_map_with_path(
-                cast, self._params
-            )
+            self._params = cast_weights_bf16(self._params)
         return self._params
 
     def _get_diffusion(self, steps: int, use_gdm: bool):
