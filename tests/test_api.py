@@ -273,6 +273,39 @@ class TestWeightsDtype:
         out_b = b.generate("same song", **kw)
         assert np.array_equal(out_a, out_b)
 
+    def test_cast_on_shape_tree(self, jen1):
+        """cast_weights_bf16 accepts ShapeDtypeStruct trees (bench.py casts
+        the shape tree BEFORE materializing so the fp32 copy is never
+        allocated) and applies the same keep-rules as on concrete arrays."""
+        import jax.numpy as jnp
+
+        from jen1_tpu.api.generation import cast_weights_bf16
+
+        tree = {
+            "params": {
+                "conv": {"kernel": jax.ShapeDtypeStruct((3, 8, 8),
+                                                        jnp.float32),
+                         "bias": jax.ShapeDtypeStruct((8,), jnp.float32)},
+                "to_time_0": {"kernel": jax.ShapeDtypeStruct((8, 8),
+                                                             jnp.float32)},
+            }
+        }
+        out = cast_weights_bf16(tree)
+        p = out["params"]
+        assert p["conv"]["kernel"].dtype == jnp.bfloat16
+        assert p["conv"]["kernel"].shape == (3, 8, 8)
+        assert isinstance(p["conv"]["kernel"], jax.ShapeDtypeStruct)
+        assert p["conv"]["bias"].dtype == jnp.float32  # vector kept
+        assert p["to_time_0"]["kernel"].dtype == jnp.float32  # FiLM head
+        # concrete arrays take the same rules and stay value-equal
+        concrete = jax.tree.map(
+            lambda s: jnp.ones(s.shape, s.dtype), tree)
+        cc = cast_weights_bf16(concrete)["params"]
+        assert cc["conv"]["kernel"].dtype == jnp.bfloat16
+        assert np.array_equal(
+            np.asarray(cc["conv"]["kernel"], np.float32),
+            np.ones((3, 8, 8), np.float32))
+
     def test_fp32_compute_bounded_drift(self, jen1):
         """Under fp32 compute, bf16 storage rounds the kernels once: finite
         output, bounded drift vs fp32 storage."""
