@@ -94,8 +94,16 @@ class Jen1:
         conditioner=None,
         use_ema_params: bool = False,
         weights_dtype: Optional[str] = None,
+        lora_path: Optional[str] = None,
+        lora_scale: Optional[float] = None,
     ):
         self.ckpt_path = ckpt_path
+        # LoRA adapter checkpoint (a run dir written by
+        # `train --lora-rank ...`, train/lora.py): merged into the base
+        # weights ONCE at load — zero inference cost. lora_scale defaults to
+        # config.lora_config.alpha / rank (rank is read off the adapter).
+        self.lora_path = lora_path
+        self.lora_scale = lora_scale
         self.sample_rate = sample_rate
         self.config = config or Config()
         # sample from the EMA weights (standard for diffusion) when the
@@ -245,6 +253,29 @@ class Jen1:
             else:
                 params = state["params"] if "params" in state else state
             self._params = {"params": params}
+        if self.lora_path is not None:
+            from jen1_tpu.ckpt.checkpoint import CheckpointManager
+            from jen1_tpu.train.lora import adapter_rank, merge_lora
+
+            restored = CheckpointManager(self.lora_path).restore()
+            assert restored is not None, (
+                f"no adapter checkpoint in {self.lora_path}"
+            )
+            lstate, _ = restored
+            if self.use_ema_params and lstate.get("ema_params") is not None:
+                adapter = lstate["ema_params"]
+            else:
+                adapter = (
+                    lstate["params"] if "params" in lstate else lstate
+                )
+            scale = (
+                self.lora_scale
+                if self.lora_scale is not None
+                else self.config.lora_config.alpha / adapter_rank(adapter)
+            )
+            self._params = {
+                "params": merge_lora(self._params["params"], adapter, scale)
+            }
         if self.weights_dtype == "bfloat16":
             self._params = cast_weights_bf16(self._params)
         return self._params

@@ -245,6 +245,24 @@ class ParallelConfig:
 
 
 @dataclass
+class LoraConfig:
+    """LoRA finetuning (train/lora.py). Beyond-reference: the torch
+    reference only finetunes ALL 300M+ params (`is_finetuning`,
+    utils/config.py:89). rank=0 disables (full finetuning/pretraining)."""
+
+    rank: int = 0
+    # merge scale = alpha / rank (the LoRA-paper parameterization: quality
+    # is stable in alpha when rank changes)
+    alpha: float = 16.0
+    # regex over "."-joined param paths; None/"" = train/lora.DEFAULT_TARGETS
+    # (attention + cross-attention q/kv/out and the FFN linears)
+    targets: Optional[str] = None
+    # frozen base weights: an orbax run dir or a reference .pth; None
+    # adapts the random init (hermetic tests)
+    base_ckpt: Optional[str] = None
+
+
+@dataclass
 class Config:
     """Root config. Reference: utils/config.py:85-102."""
 
@@ -287,6 +305,7 @@ class Config:
     optimizer_config: OptimizerConfig = field(default_factory=OptimizerConfig)
     conditioner_config: ConditionerConfig = field(default_factory=ConditionerConfig)
     parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
+    lora_config: LoraConfig = field(default_factory=LoraConfig)
 
     # ---------------------------------------------------------------- io
 

@@ -67,6 +67,12 @@ def build_trainer(config: Config, mesh=None, conditioner=None):
         )
     if conditioner is None:
         conditioner = create_multi_conditioner(config.conditioner_config)
+    if getattr(config, "lora_config", None) and config.lora_config.rank > 0:
+        from jen1_tpu.train.lora import LoRATrainer
+
+        return LoRATrainer(
+            config, model, diffusion, conditioner=conditioner, mesh=mesh
+        )
     return UnifiedMultiTaskTrainer(
         config, model, diffusion, conditioner=conditioner, mesh=mesh
     )
@@ -240,6 +246,12 @@ def main():
     p.add_argument("--sp", type=int, default=None, help="sequence-parallel size")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3 param/optimizer sharding over dp")
+    p.add_argument("--lora-rank", type=int, default=None,
+                   help="train a rank-r LoRA adapter instead of full params")
+    p.add_argument("--lora-alpha", type=float, default=None,
+                   help="LoRA merge scale numerator (scale = alpha/rank)")
+    p.add_argument("--lora-base-ckpt", default=None,
+                   help="frozen base weights: orbax run dir or reference .pth")
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 2-4 into log_dir")
@@ -262,6 +274,12 @@ def main():
         config.parallel_config.sp = args.sp
     if args.fsdp:
         config.parallel_config.fsdp = True
+    if args.lora_rank is not None:
+        config.lora_config.rank = args.lora_rank
+    if args.lora_alpha is not None:
+        config.lora_config.alpha = args.lora_alpha
+    if args.lora_base_ckpt is not None:
+        config.lora_config.base_ckpt = args.lora_base_ckpt
     run(config, distributed=args.distributed, max_steps=args.max_steps,
         profile=args.profile)
 

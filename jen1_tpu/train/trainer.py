@@ -114,6 +114,11 @@ class UnifiedMultiTaskTrainer:
 
     def init_state(self, rng: jax.Array, sample_batch: Dict[str, Any]) -> TrainState:
         """sample_batch: {'latents': (B,L,C), 'text_emb': (B,M,E), 'text_mask': (B,M)}"""
+        params = self._init_full_params(rng, sample_batch)
+        return self._state_from_params(params)
+
+    def _init_full_params(self, rng: jax.Array, sample_batch: Dict[str, Any]):
+        """model.init on the template batch + mesh placement (tp/fsdp rules)."""
         latents = sample_batch["latents"]
         b, l, c = latents.shape
         emb = sample_batch["text_emb"]
@@ -135,7 +140,7 @@ class UnifiedMultiTaskTrainer:
             # follow their input's sharding, so moments/accumulators are
             # tp-sharded too. This is the PRODUCT path — the trainer CLI gets
             # TP for free (VERDICT r1 weak #4).
-            from jen1_tpu.parallel.mesh import param_shardings, replicated
+            from jen1_tpu.parallel.mesh import param_shardings
 
             fsdp = getattr(self.config.parallel_config, "fsdp", False)
             params = jax.tree.map(
@@ -143,6 +148,14 @@ class UnifiedMultiTaskTrainer:
                 params,
                 param_shardings(params, self.mesh, fsdp=fsdp),
             )
+        return params
+
+    def _state_from_params(self, params) -> TrainState:
+        """Optimizer init + device/sharding commits over the TRAINABLE param
+        tree (the full params here; the adapter tree in train/lora.py)."""
+        if self.mesh is not None:
+            from jen1_tpu.parallel.mesh import replicated
+
             opt_state = (fused_adamw_init(params) if self._use_fused
                          else self.optimizer.init(params))
             # Eagerly-created scalars inside opt_state (optax step counters)
@@ -290,6 +303,32 @@ class UnifiedMultiTaskTrainer:
                 total = total + loss
         return total, per_task
 
+    def _apply_optimizer(self, grads, state: TrainState):
+        """One optimizer update over the trainable tree (traced inside the
+        jitted step). Returns (params, opt_state, grad_norm)."""
+        if self._use_fused:
+            oc = self.config.optimizer_config
+            return fused_adamw_apply(
+                grads,
+                state.opt_state,
+                state.params,
+                lr=make_lr_schedule(oc),
+                b1=oc.beta_1,
+                b2=oc.beta_2,
+                eps=1e-8,
+                weight_decay=oc.weight_decay,
+                clip=(
+                    oc.grad_clip
+                    if oc.grad_clip
+                    else float(jnp.finfo(jnp.float32).max)
+                ),
+            )
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return params, opt_state, optax.global_norm(grads)
+
     def _build_train_step(self, causal_flags: Tuple[bool, ...], state=None):
         def step_fn(state: TrainState, batch, rng):
             def loss_fn(params):
@@ -305,29 +344,7 @@ class UnifiedMultiTaskTrainer:
             (total, per_task), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
-            if self._use_fused:
-                oc = self.config.optimizer_config
-                params, opt_state, grad_norm = fused_adamw_apply(
-                    grads,
-                    state.opt_state,
-                    state.params,
-                    lr=make_lr_schedule(oc),
-                    b1=oc.beta_1,
-                    b2=oc.beta_2,
-                    eps=1e-8,
-                    weight_decay=oc.weight_decay,
-                    clip=(
-                        oc.grad_clip
-                        if oc.grad_clip
-                        else float(jnp.finfo(jnp.float32).max)
-                    ),
-                )
-            else:
-                updates, opt_state = self.optimizer.update(
-                    grads, state.opt_state, state.params
-                )
-                params = optax.apply_updates(state.params, updates)
-                grad_norm = optax.global_norm(grads)
+            params, opt_state, grad_norm = self._apply_optimizer(grads, state)
             ema = state.ema_params
             if ema is not None:
                 d = self.ema_decay
@@ -347,42 +364,45 @@ class UnifiedMultiTaskTrainer:
                 metrics,
             )
 
-        # Pin the output state's shardings to the INPUT state's: without
-        # this, GSPMD chooses its own output shardings, the second call's
-        # inputs then carry those (different) shardings, and jit recompiles
-        # the whole step once more (~75-105 s per variant on the 1-core CPU
-        # host; measured in the round-3 dryrun work). Pinning makes step 2 a
-        # cache hit AND gives perfect donation aliasing. Shardings come from
-        # the first state seen for this causal variant — state shardings are
-        # stable within a trainer by construction (init_state lays them out).
-        out_shardings = None
-        if state is not None:
-            def leaf_sharding(x):
-                sh = x.sharding
-                # Eagerly-created scalars (optax counters etc.) sit
-                # uncommitted on one device; as ARGUMENTS jit places them
-                # freely, but as explicit out_shardings a single-device
-                # sharding conflicts with the mesh — replicate those.
-                if self.mesh is not None and isinstance(
-                    sh, jax.sharding.SingleDeviceSharding
-                ):
-                    return jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec()
-                    )
-                return sh
-
-            try:
-                out_shardings = (
-                    jax.tree.map(leaf_sharding, state),
-                    None,  # metrics: unconstrained (scalar, replicated)
-                )
-            except Exception:  # noqa: BLE001 — sharding-less leaves: infer
-                out_shardings = None
         return jax.jit(
             step_fn, donate_argnums=(0,),
-            out_shardings=out_shardings,
+            out_shardings=self._pin_out_shardings(state),
             compiler_options=self._compiler_options,
         )
+
+    def _pin_out_shardings(self, state: Optional[TrainState]):
+        """Pin the output state's shardings to the INPUT state's: without
+        this, GSPMD chooses its own output shardings, the second call's
+        inputs then carry those (different) shardings, and jit recompiles
+        the whole step once more (~75-105 s per variant on the 1-core CPU
+        host; measured in the round-3 dryrun work). Pinning makes step 2 a
+        cache hit AND gives perfect donation aliasing. Shardings come from
+        the first state seen for this causal variant — state shardings are
+        stable within a trainer by construction (init_state lays them out)."""
+        if state is None:
+            return None
+
+        def leaf_sharding(x):
+            sh = x.sharding
+            # Eagerly-created scalars (optax counters etc.) sit
+            # uncommitted on one device; as ARGUMENTS jit places them
+            # freely, but as explicit out_shardings a single-device
+            # sharding conflicts with the mesh — replicate those.
+            if self.mesh is not None and isinstance(
+                sh, jax.sharding.SingleDeviceSharding
+            ):
+                return jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()
+                )
+            return sh
+
+        try:
+            return (
+                jax.tree.map(leaf_sharding, state),
+                None,  # metrics: unconstrained (scalar, replicated)
+            )
+        except Exception:  # noqa: BLE001 — sharding-less leaves: infer
+            return None
 
     def _build_eval_step(self, causal_flags: Tuple[bool, ...]):
         def eval_fn(state: TrainState, batch, rng):
