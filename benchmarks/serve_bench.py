@@ -72,6 +72,7 @@ def bench_one(jen1, GenerationService, *, max_batch, n_req, steps, seconds,
 
     lat = [None] * n_req
     err = []
+    phases_before = dict(svc.phase_totals)  # isolate the load window
 
     def fire(i):
         t1 = time.time()
@@ -100,12 +101,26 @@ def bench_one(jen1, GenerationService, *, max_batch, n_req, steps, seconds,
         f"batches={svc.stats['batches']} padded_lanes="
         f"{svc.stats['padded_lanes']}", flush=True,
     )
+    phases = {
+        k: v - phases_before.get(k, 0.0)
+        for k, v in svc.phase_totals.items()
+        if v - phases_before.get(k, 0.0) > 1e-4
+    }
+    attributed = sum(phases.values())
+    print(f"[mb{max_batch}] host-phase attribution over the load window "
+          f"(wall {wall:.2f}s): " + ", ".join(
+              f"{k}={v:.2f}s" for k, v in
+              sorted(phases.items(), key=lambda kv: -kv[1]))
+          + f" | attributed={attributed:.2f}s "
+          f"(collect+dispatch overlap fetch via the pipelined completer)",
+          flush=True)
     stats = dict(svc.stats)
     svc.close()
     return {
         "max_batch": max_batch, "warmup": warmup, "single": single,
         "wall": wall, "p50": p50, "p95": p95, "stats": stats,
         "req_s": n_req / wall, "audio_s": n_req * seconds / wall,
+        "phases": phases,
     }
 
 
@@ -215,6 +230,24 @@ reference has NO serving story at all.
 {row("throughput", lambda r: f"{r['req_s']:.2f} req/s = {r['audio_s']:.1f} audio-s/s/chip")}
 {row("request latency p50 / p95", lambda r: f"{r['p50']:.2f} / {r['p95']:.2f} s")}
 {row("batches / padded lanes", lambda r: f"{r['stats']['batches']} / {r['stats']['padded_lanes']}")}
+
+## Host-phase attribution over the load window (seconds, summed over batches)
+
+Phases from `Jen1.generate`'s per-call recorder + the service's collect /
+fetch walls. The dispatcher ASYNC-dispatches each batch and a completer
+thread blocks on the device->host fetch, so `fetch` (which absorbs device
+compute) OVERLAPS the next batch's collect/prep/dispatch — host phases are
+serialization only where they exceed the fetch headroom.
+
+{header}
+{sep}
+""" + "\n".join(
+            "| " + ph + " |" + "".join(
+                f" {r['phases'].get(ph, 0.0):.2f} |" for r in rows)
+            for ph in sorted(
+                {k for r in rows for k in r["phases"]},
+                key=lambda ph: -max(r["phases"].get(ph, 0) for r in rows))
+        ) + f"""
 
 Overload burst ({burst} reqs, max_queue=4, max_batch={batches[0]}):
 {len(shed)} shed with ServiceOverloaded (HTTP 503), {len(done)} served,

@@ -20,6 +20,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
+import time
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -200,6 +201,17 @@ class Jen1:
         self._params = None
         self._diffusion_cache: Dict[Tuple[int, bool], Any] = {}
         self._sample_cache: Dict[Any, Any] = {}
+        # eval_shape of the chunked encoder re-traces the codec every
+        # generate() call otherwise (~10s of ms of host work per request
+        # batch in serving) — memoize per (encode fn, waveform shape)
+        self._enc_shape_cache: Dict[Any, Any] = {}
+        # Host-side phase walls of the LAST generate() call (seconds):
+        # prep / encode / conditioner / assemble / sampler_dispatch /
+        # decode_dispatch / fetch. JAX dispatch is async, so device compute
+        # accumulates in 'fetch' (the np.asarray block); the other phases
+        # are pure host serialization — what serving's dispatcher pays
+        # between device batches (benchmarks/serve_bench.py reads this).
+        self.last_timings: Dict[str, float] = {}
         # Optional jax.sharding.Mesh with a 'dp' axis: generate() shards the
         # batch over it (multi-chip inference; reference has none).
         self.mesh = None
@@ -341,12 +353,20 @@ class Jen1:
         compiler_options: Optional[Dict[str, Any]] = None,
         rng_impl: str = "threefry2x32",
         output_dtype: str = "float32",
+        output_transport: str = "host",
     ):
         """Returns waveform (B, channels, samples) float32 (or the latent
         (B, 128, frames) when decode=False). output_dtype="int16" instead
         returns 16-bit PCM converted ON DEVICE — half the host-fetch bytes,
         which bounds warm request latency on tunneled runtimes (serving's
         WAV/s16le output needs exactly this anyway). Unknown values raise.
+
+        output_transport: "host" (default) blocks on the device->host fetch
+        and returns np.ndarray; "device" returns the jax.Array right after
+        ASYNC dispatch — the caller fetches (np.asarray) when it wants the
+        bytes. Serving uses "device" to overlap batch N's fetch with batch
+        N+1's host prep + dispatch (the dispatcher thread never blocks on
+        transfer; see serve.GenerationService._complete_loop).
 
         rng_impl: "threefry2x32" (default; reproducible across backends) or
         "rbg" — the TPU hardware RngBitGenerator. The DDIM scan draws a
@@ -383,6 +403,11 @@ class Jen1:
                 f"output_dtype must be 'float32' or 'int16', got "
                 f"{output_dtype!r}"
             )
+        if output_transport not in ("host", "device"):
+            raise ValueError(
+                f"output_transport must be 'host' or 'device', got "
+                f"{output_transport!r}"
+            )
         if compiler_options is None:
             effort = getattr(self.config, "compile_effort", None)
             compiler_options = (
@@ -390,6 +415,16 @@ class Jen1:
                 if effort is not None
                 else {}
             )
+        timings: Dict[str, float] = {}
+        _tprev = time.perf_counter()
+
+        def _mark(phase: str) -> None:
+            nonlocal _tprev
+            now = time.perf_counter()
+            timings[phase] = timings.get(phase, 0.0) + (now - _tprev)
+            _tprev = now
+
+        self.last_timings = timings
         seed = seed if seed != -1 else int(np.random.randint(0, 2**31 - 1))
         rng = jax.random.key(seed, impl=rng_impl)
         channels = self.codec.config.channels
@@ -458,6 +493,7 @@ class Jen1:
             enc_fn = self.codec.encode_latent_chunked
         else:  # "whole": byte-matches the reference's whole-clip get_emb
             enc_fn = self.codec.encode_latent
+        _mark("prep")
         if no_init and task == "text_guided":
             # masked_input is identically zero here: the text_guided mask
             # zeroes the whole clip (reference generation.py:97-110
@@ -465,14 +501,19 @@ class Jen1:
             # zeros waveform is dead work — and in serving it is a whole
             # extra warm-up compile (the chunked-encoder program) plus
             # per-request encoder walls. Trace the same encode path with
-            # eval_shape (pure host-side, no compile) for the latent grid
-            # and use literal zeros.
-            sds = jax.eval_shape(
-                enc_fn, jax.ShapeDtypeStruct(init_audio.shape, jnp.float32)
-            )
+            # eval_shape (pure host-side, no compile; memoized per shape)
+            # for the latent grid and use literal zeros.
+            shape_key = (enc_fn.__name__, init_audio.shape)
+            sds = self._enc_shape_cache.get(shape_key)
+            if sds is None:
+                sds = jax.eval_shape(
+                    enc_fn, jax.ShapeDtypeStruct(init_audio.shape, jnp.float32)
+                )
+                self._enc_shape_cache[shape_key] = sds
             init_emb = jnp.zeros(sds.shape, sds.dtype)
         else:
             init_emb = enc_fn(jnp.asarray(init_audio))
+        _mark("encode")
         latent_len = init_emb.shape[1]
         latent_dim = init_emb.shape[2]
 
@@ -494,6 +535,7 @@ class Jen1:
                 f"{len(prompts)} prompts != batch_size {batch_size}"
             )
         cond_out = self.conditioner([{"prompt": p} for p in prompts])
+        _mark("conditioner")
         cond_dict = dict(cond_out)
         cond_dict["masked_input"] = masked_emb.astype(self.compute_dtype)
         cond_dict["mask"] = latent_mask.astype(self.compute_dtype)
@@ -554,6 +596,7 @@ class Jen1:
         step_kw = {} if use_gdm else {"step": steps}
         if encoder_reuse > 1:
             step_kw["encoder_reuse"] = int(encoder_reuse)
+        _mark("assemble")
         if sampler_mode == "stepwise":
             latents = diffusion.sample(
                 self._params_model_fn, shape, conditioning,
@@ -604,9 +647,14 @@ class Jen1:
             latents = sample_fn(
                 params, jax.random.fold_in(rng, 2), conditioning, init_data
             )
+        _mark("sampler_dispatch")
 
         if not decode:
-            return np.asarray(latents).transpose(0, 2, 1)  # (B, 128, F)
+            if output_transport == "device":
+                return jnp.transpose(latents, (0, 2, 1))  # (B, 128, F)
+            out = np.asarray(latents).transpose(0, 2, 1)  # (B, 128, F)
+            _mark("fetch")
+            return out
         if decode_mode == "chunked":
             audio = self.codec.decode_latent_chunked(latents)
         elif decode_mode == "chunked_bf16":
@@ -629,7 +677,12 @@ class Jen1:
             # a tunneled runtime the fetch bounds warm request latency
             # (benchmarks/SERVING_TPU.md notes).
             audio = _to_int16(audio)
-        return np.asarray(audio).transpose(0, 2, 1)  # (B, ch, T)
+        _mark("decode_dispatch")
+        if output_transport == "device":
+            return jnp.transpose(audio, (0, 2, 1))  # (B, ch, T), async
+        out = np.asarray(audio).transpose(0, 2, 1)  # (B, ch, T)
+        _mark("fetch")
+        return out
 
     def generate_long(
         self,

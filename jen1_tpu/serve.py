@@ -109,6 +109,7 @@ class GenerationService:
         default_use_gdm: bool = True,
         rng_impl: str = "rbg",
         output_dtype: str = "float32",
+        pipeline_depth: int = 2,
     ):
         self.jen1 = jen1
         self.max_batch = int(max_batch)
@@ -160,10 +161,30 @@ class GenerationService:
         self._device_lock = threading.Lock()
         self._draining = threading.Event()
         self._stop = threading.Event()
+        # Pipelined completion: the dispatcher DISPATCHES a batch (async JAX
+        # call via generate(output_transport="device")) and hands the device
+        # array to the completer thread, which blocks on the device->host
+        # fetch and delivers responses. The device computes batch N+1 while
+        # batch N's audio crosses the host link — without this the fetch
+        # (plus response delivery) serializes between device batches and the
+        # chip idles (benchmarks/SERVING_TPU.md attribution). The queue bound
+        # keeps at most `pipeline_depth` batches in flight on the device.
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=max(1, int(pipeline_depth))
+        )
+        # host-side phase seconds accumulated over all batches, for the
+        # serving attribution table (serve_bench.py): generate()'s
+        # last_timings phases + 'collect' (batch formation) + 'fetch'
+        self.phase_totals: Dict[str, float] = {}
+        self._phase_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="jen1-dispatcher", daemon=True
         )
+        self._completer = threading.Thread(
+            target=self._complete_loop, name="jen1-completer", daemon=True
+        )
         self._thread.start()
+        self._completer.start()
 
     @property
     def queue_depth(self) -> int:
@@ -281,6 +302,8 @@ class GenerationService:
             time.sleep(0.02)
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # the dispatcher's exit put the sentinel; drain remaining fetches
+        self._completer.join(timeout=drain_timeout)
         leftovers: List[_Request] = list(self._pending)
         self._pending.clear()
         while True:
@@ -352,39 +375,76 @@ class GenerationService:
                 self._pending.append(req)  # different graph: next batch
         return batch
 
+    def _add_phases(self, timings: Dict[str, float]) -> None:
+        with self._phase_lock:
+            for k, v in timings.items():
+                self.phase_totals[k] = self.phase_totals.get(k, 0.0) + v
+
     def _dispatch_loop(self) -> None:
         while True:
             if self._stop.is_set() and not self._pending \
                     and self._queue.empty():
+                self._inflight.put(None)  # completer shutdown sentinel
                 return
+            t_c0 = time.perf_counter()
             batch = self._collect_batch()
             if not batch:
                 continue
+            self._add_phases({"collect": time.perf_counter() - t_c0})
             self.stats["busy"] = True
             t0 = time.time()
             try:
                 with self._device_lock:
-                    self._run_batch(batch)
-                self._batch_secs_ewma = (
-                    0.7 * self._batch_secs_ewma + 0.3 * (time.time() - t0)
-                )
+                    audio_dev = self._dispatch_batch(batch)
             except Exception as e:  # noqa: BLE001 — report to the callers
                 self.stats["errors"] += 1
                 for req in batch:
                     if not req.done.is_set():
                         self._finish(req, error=f"{type(e).__name__}: {e}")
-            finally:
                 self.stats["busy"] = False
+                continue
+            # hand the async device array to the completer; blocks only when
+            # pipeline_depth batches are already in flight (backpressure)
+            self._inflight.put((batch, audio_dev, t0))
+            self.stats["busy"] = False
 
-    def _run_batch(self, batch: List[_Request]) -> None:
-        # pad to the FIXED max_batch so all traffic hits one compiled graph
+    def _complete_loop(self) -> None:
+        """Owns the device->host side: blocks on each in-flight batch's
+        fetch and delivers responses, while the dispatcher (and the device)
+        move on to the next batch."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, audio_dev, t0 = item
+            try:
+                t_f0 = time.perf_counter()
+                audio = np.asarray(audio_dev)  # blocks: device + transfer
+                self._add_phases({"fetch": time.perf_counter() - t_f0})
+                self._batch_secs_ewma = (
+                    0.7 * self._batch_secs_ewma + 0.3 * (time.time() - t0)
+                )
+                self.stats["batches"] += 1
+                self.stats["padded_lanes"] += self.max_batch - len(batch)
+                for lane, req in enumerate(batch):
+                    req.audio = audio[lane]
+                    self._finish(req)
+            except Exception as e:  # noqa: BLE001 — report to the callers
+                self.stats["errors"] += 1
+                for req in batch:
+                    if not req.done.is_set():
+                        self._finish(req, error=f"{type(e).__name__}: {e}")
+
+    def _dispatch_batch(self, batch: List[_Request]):
+        """Pad to the FIXED max_batch (all traffic hits one compiled graph)
+        and ASYNC-dispatch generation; returns the un-fetched device array."""
         n_pad = self.max_batch - len(batch)
         prompts = [r.prompt for r in batch] + [""] * n_pad
         first = batch[0]
         # An explicit seed implies a singleton batch (batch_key includes the
         # request uid), so the seeded request is always lane 0 of its padded
         # batch — exactly reproducible. Default-seed batches run fresh noise.
-        audio = self.jen1.generate(
+        audio_dev = self.jen1.generate(
             prompts,
             seed=first.seed,
             steps=first.steps,
@@ -394,13 +454,10 @@ class GenerationService:
             sampler_mode=self.sampler_mode,
             rng_impl=self.rng_impl,
             output_dtype=self.output_dtype,
-        )  # (max_batch, ch, T)
-        audio = np.asarray(audio)
-        self.stats["batches"] += 1
-        self.stats["padded_lanes"] += n_pad
-        for lane, req in enumerate(batch):
-            req.audio = audio[lane]
-            self._finish(req)
+            output_transport="device",
+        )  # (max_batch, ch, T), not yet on host
+        self._add_phases(getattr(self.jen1, "last_timings", {}) or {})
+        return audio_dev
 
 
 def _wav_bytes(audio_ct: np.ndarray, sample_rate: int) -> bytes:

@@ -37,7 +37,8 @@ class FakeJen1:
 
     def generate(self, prompts, seed=-1, steps=100, batch_size=1,
                  seconds=30.0, use_gdm=False, sampler_mode="scan",
-                 rng_impl="rbg", output_dtype="float32"):
+                 rng_impl="rbg", output_dtype="float32",
+                 output_transport="host"):
         time.sleep(self.delay)
         self.calls.append({"prompts": list(prompts), "seed": seed,
                            "sampler_mode": sampler_mode,
