@@ -28,10 +28,10 @@ backend init with zero diagnostics, watchdog killed it at 1080 s):
     program + separate chunked-decode program, chained asynchronously on
     device (~333 s cold compile, r4 measured) — and the first result is
     written right after the first post-compile run. The sampler+decode
-    FUSED single program is only attempted AFTER a result is on disk and
-    only when the remaining deadline budget covers it (JEN1_BENCH_FUSED=1
-    forces it, =0 disables). Its compile cost collapsed from ~755 s (r3) to
-    ~40 s (r4) once the codec weights stopped being closure-captured.
+    FUSED single program measured AT PARITY with this at the flagship
+    100-step point (BENCH_r04: 163.12 vs 163.95) so it is auto-attempted
+    only in dpm++ mode, where it measured +1.4% (JEN1_BENCH_FUSED=1
+    forces it anywhere, =0 disables).
 
 Value honesty (round 4): rounds 1-3 CAPTURED the zeros weight trees in the
 jitted programs' closures, which lowers them as splat constants — XLA then
@@ -446,18 +446,21 @@ def child_main() -> None:
     note(f"single-clip latency (incl. fetch round-trip)={time.time() - t0:.3f}s")
 
     # ---- fused upgrade: one XLA program for sampler+decode+checksum.
-    # Worth a few ms/clip; its compile cost collapsed from ~755 s (r3,
-    # codec weights captured as dense literals) to ~40 s (r4, weights as
-    # arguments) — still only attempted with a result already on disk AND
-    # deadline budget left (or when forced).
+    # The driver measured it AT PARITY with the two-program pipeline at the
+    # flagship 100-step point (BENCH_r04: 163.12 fused vs 163.95 unfused —
+    # the async dispatch already hides the latent round-trip), so it is no
+    # longer auto-attempted there. Its one measured win is 25-step DPM++
+    # (+1.4%, where fixed per-program overhead is a larger fraction of the
+    # short wall) — auto only in that mode; JEN1_BENCH_FUSED=1/0 forces.
     fused_env = os.environ.get("JEN1_BENCH_FUSED", "auto")
     want_fused = fused_prog is not None and not tiny and (
         fused_env == "1"
-        or (fused_env == "auto" and budget_left() > 300)
+        or (fused_env == "auto" and mode == "dpm++" and budget_left() > 300)
     )
     if want_fused:
         stage["name"] = "FUSED program compile (~40s on v5e host, r4)"
-        note(f"attempting fused upgrade (budget left {budget_left():.0f}s)")
+        note(f"attempting fused upgrade (mode={mode}, "
+             f"budget left {budget_left():.0f}s)")
         try:
             t0 = time.time()
             _, chk = fused_prog(key(2))
@@ -473,8 +476,9 @@ def child_main() -> None:
             note(f"fused upgrade failed, keeping unfused result: "
                  f"{type(e).__name__}: {e}")
     elif fused_prog is not None and not tiny:
-        note(f"fused upgrade skipped (budget left {budget_left():.0f}s < 300s;"
-             f" JEN1_BENCH_FUSED=1 forces)")
+        note("fused upgrade skipped (driver-measured at parity with unfused "
+             "at the 100-step point, BENCH_r04; auto only for dpm++ — "
+             "JEN1_BENCH_FUSED=1 forces)")
 
     if os.environ.get("JEN1_BENCH_BREAKDOWN") == "1":
         # component walls (each its own program — manual runs only)

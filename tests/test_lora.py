@@ -294,3 +294,56 @@ class TestConfigWiring:
         assert back.lora_config.rank == 16
         assert back.lora_config.alpha == 32.0
         assert back.lora_config.base_ckpt == "/ckpts/base"
+
+
+class TestLoRAMesh:
+    """LoRA under a dp×tp mesh (VERDICT r4 weak #3c): the base is tp-sharded
+    by _init_full_params, the adapter rides replicated, and the sharded run
+    matches the single-device run step-for-step."""
+
+    def _run(self, mesh, n_steps=3, B=12):
+        cfg, trainer = make_lora_trainer(batch=B)
+        trainer.mesh = mesh
+        batch = make_batch(cfg, B=B)
+        if mesh is not None:
+            from jen1_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        losses = []
+        for step in range(n_steps):
+            state, m = trainer.train_step(
+                state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(1), step),
+                np.random.default_rng(step),
+            )
+            losses.append(float(m["loss/train"]))
+        return trainer, state, losses
+
+    def test_dp_tp_matches_replicated(self):
+        from jen1_tpu.parallel.mesh import make_mesh
+
+        trainer_m, state_m, losses_m = self._run(make_mesh(dp=4, tp=2))
+        trainer_r, state_r, losses_r = self._run(None)
+        np.testing.assert_allclose(losses_m, losses_r, rtol=5e-5)
+        # every adapter tensor matches the replicated trajectory
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6),
+            state_m.params, state_r.params,
+        )
+
+    def test_base_tp_sharded_adapter_replicated(self):
+        from jen1_tpu.parallel.mesh import make_mesh
+
+        trainer, state, losses = self._run(make_mesh(dp=4, tp=2), n_steps=1)
+        assert all(np.isfinite(v) for v in losses)
+        base_tp = [
+            "/".join(str(getattr(k, "key", k)) for k in p)
+            for p, leaf in jax.tree_util.tree_flatten_with_path(
+                trainer.base_params)[0]
+            if not leaf.sharding.is_fully_replicated
+        ]
+        assert any("to_q" in p for p in base_tp), base_tp[:5]
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.sharding.is_fully_replicated
