@@ -80,8 +80,7 @@ def main():
             rows.append((B, rng_impl, cold, best, thr))
             print(f"B={B} rng={rng_impl}: cold(compile+first)={cold:.0f}s "
                   f"warm={best:.3f}s -> {thr:.1f} audio-s/s/chip "
-                  f"({thr / seconds:.1f}x realtime per clip at B=1 terms)",
-                  flush=True)
+                  f"({thr:.0f}x realtime)", flush=True)
 
     out_path = os.path.join(os.path.dirname(__file__), "VDM_E2E_TPU.md")
     with open(out_path, "w") as f:

@@ -179,11 +179,28 @@ def main():
         print("total ops:", sum(hb.values()), sum(hg.values()), flush=True)
 
     if mode in ("cpu", "tpu"):
+        compiled = {}
         for name in which:
             t0 = time.time()
-            lowered[name].compile()
+            compiled[name] = lowered[name].compile()
             print(f"{name} compile ({mode}): {time.time() - t0:.0f}s",
                   flush=True)
+        if os.environ.get("JEN1_PROBE_RUN") == "1":
+            import jax.numpy as jnp
+
+            for name in which:
+                fn = compiled[name]
+                out = fn(params, rng)
+                jnp.sum(out).block_until_ready()
+                walls = []
+                for i in range(3):
+                    r2 = jax.random.fold_in(rng, i + 1)
+                    t0 = time.time()
+                    out = fn(params, r2)
+                    float(jnp.sum(out.astype(jnp.float32)))  # honest fence
+                    walls.append(time.time() - t0)
+                print(f"{name} run: best={min(walls):.3f}s walls="
+                      f"{[f'{w:.3f}' for w in walls]}", flush=True)
 
 
 if __name__ == "__main__":

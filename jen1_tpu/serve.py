@@ -123,11 +123,11 @@ class GenerationService:
         # program (e.g. remote-compile tunnels with a hard request timeout);
         # 'dpm++' = DPM-Solver++(2M) scan (fewer model calls per clip).
         self.sampler_mode = str(sampler_mode)
-        # The SERVICE default diffusion is GDM DDIM — generate()'s own
-        # default is VDM for reference signature parity, but the VDM scan
-        # program measured >10 min to compile on a tunneled v5e host with
-        # either rng impl, vs ~200 s for the GDM DDIM scan (the bench-proven
-        # flagship program class). Per-request use_gdm still overrides.
+        # The SERVICE default diffusion is GDM DDIM — a preference, not a
+        # workaround: the VDM scan compiles and runs at parity with GDM
+        # (benchmarks/VDM_E2E_TPU.md; the r4 "VDM cannot compile" was the
+        # closure-captured-weights bug), but DDIM exposes the serving-useful
+        # knobs (steps, dpm++, encoder_reuse). Per-request use_gdm overrides.
         self.default_use_gdm = bool(default_use_gdm)
         # Serving draws sampler noise from the TPU hardware RNG ('rbg'):
         # same iid N(0,1) stream, 3x cheaper keygen per step than threefry
@@ -180,11 +180,21 @@ class GenerationService:
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="jen1-dispatcher", daemon=True
         )
-        self._completer = threading.Thread(
-            target=self._complete_loop, name="jen1-completer", daemon=True
-        )
+        # TWO completer threads: the device->host link serializes mostly,
+        # but two in-flight fetches measured ~1.4x the aggregate bandwidth
+        # of one on the tunneled runtime (19 -> 26 MB/s; see
+        # benchmarks/SERVING_TPU.md attribution). Completion order across
+        # batches is irrelevant — each request's Event fires independently.
+        self._completers = [
+            threading.Thread(
+                target=self._complete_loop, name=f"jen1-completer-{i}",
+                daemon=True,
+            )
+            for i in range(2)
+        ]
         self._thread.start()
-        self._completer.start()
+        for c in self._completers:
+            c.start()
 
     @property
     def queue_depth(self) -> int:
@@ -302,8 +312,9 @@ class GenerationService:
             time.sleep(0.02)
         self._stop.set()
         self._thread.join(timeout=5.0)
-        # the dispatcher's exit put the sentinel; drain remaining fetches
-        self._completer.join(timeout=drain_timeout)
+        # the dispatcher's exit put the sentinels; drain remaining fetches
+        for c in self._completers:
+            c.join(timeout=drain_timeout)
         leftovers: List[_Request] = list(self._pending)
         self._pending.clear()
         while True:
@@ -384,7 +395,8 @@ class GenerationService:
         while True:
             if self._stop.is_set() and not self._pending \
                     and self._queue.empty():
-                self._inflight.put(None)  # completer shutdown sentinel
+                for _ in self._completers:  # one shutdown sentinel each
+                    self._inflight.put(None)
                 return
             t_c0 = time.perf_counter()
             batch = self._collect_batch()
@@ -456,6 +468,11 @@ class GenerationService:
             output_dtype=self.output_dtype,
             output_transport="device",
         )  # (max_batch, ch, T), not yet on host
+        if n_pad and hasattr(audio_dev, "at"):  # jax array, not a test fake
+            # padding lanes never cross the device->host link — the fetch is
+            # the serving bottleneck on tunneled runtimes (~20-30 MB/s), so
+            # an under-filled batch fetches len(batch)/max_batch of the bytes
+            audio_dev = audio_dev[: len(batch)]
         self._add_phases(getattr(self.jen1, "last_timings", {}) or {})
         return audio_dev
 
@@ -684,10 +701,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "land the whole-loop scan program")
     p.add_argument("--diffusion", default="gdm", choices=("gdm", "vdm"),
                    help="service default when a request omits use_gdm: "
-                        "'gdm' (DDIM; the TPU-proven ~200 s compile class) "
-                        "or 'vdm' (generate()'s own default; its scan "
-                        "program measured >10 min to compile on a tunneled "
-                        "v5e host)")
+                        "'gdm' (DDIM; exposes steps/dpm++/encoder_reuse) "
+                        "or 'vdm' (generate()'s own default; compiles and "
+                        "serves at parity — benchmarks/VDM_E2E_TPU.md)")
     p.add_argument("--rng", default="rbg", choices=("rbg", "threefry2x32"),
                    help="sampler noise impl: 'rbg' = TPU hardware RNG "
                         "(3x cheaper keygen/step); seeds reproducible "
