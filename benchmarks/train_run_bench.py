@@ -228,8 +228,11 @@ def main():
          f"({walls['phase1']:.0f}s, rc={rc})")
 
     # ---- 5. phase 2: resume from the latest checkpoint, run to target
+    # (--max-steps counts THIS process's steps; the resume fast-forwards to
+    # the last checkpoint, so phase 2 runs the remainder)
+    ckpt_step = (kill_after // eval_interval) * eval_interval
     t0 = time.time()
-    rc, _ = run_sub(train_cmd(target_steps, log2), runlog, env=env)
+    rc, _ = run_sub(train_cmd(target_steps - ckpt_step, log2), runlog, env=env)
     walls["phase2"] = time.time() - t0
     assert rc == 0, f"resume run rc={rc} (see {runlog})"
     m2 = read_metrics(log2)
@@ -258,6 +261,13 @@ def main():
     post = os.path.join(base, "post")
     os.makedirs(post, exist_ok=True)
     post_script = os.path.join(base, "postrun.py")
+    post_steps = 4 if tiny else 20
+    tiny_codec = """
+from jen1_tpu.codec.model import EncodecConfig, EncodecModel
+codec = EncodecModel(EncodecConfig(
+    sample_rate=1600, channels=2, dimension=cfg.model_config.in_channels,
+    n_filters=2, ratios=(5, 4, 2), n_q=4, bins=16))
+""" if tiny else "codec = None\n"
     with open(post_script, "w") as f:
         f.write(f"""
 import sys, json
@@ -265,17 +275,18 @@ sys.path.insert(0, {REPO!r})
 import numpy as np
 from jen1_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
-from jen1_tpu.config import Config
+from jen1_tpu.config import Config, tiny_test_config
 from jen1_tpu.api.generation import Jen1, save_audio
 
 cfg = Config.from_json({cfg_path!r})
-jen1 = Jen1({save_dir!r}, sample_rate={sr}, config=cfg, use_ema_params=True)
-audio = jen1.generate("synthetic chord pattern 3", seed=11, steps=20,
-                      seconds={sample_duration}, use_gdm=True,
-                      batch_size=2)
+{tiny_codec}
+jen1 = Jen1({save_dir!r}, sample_rate={sr}, config=cfg, use_ema_params=True,
+            codec=codec)
+audio = jen1.generate("synthetic chord pattern 3", seed=11,
+                      steps={post_steps}, seconds={sample_duration},
+                      use_gdm=True, batch_size=2)
 assert np.isfinite(audio).all(), "non-finite sample"
 save_audio(audio[0], {os.path.join(post, "sample.wav")!r}, sample_rate={sr})
-from jen1_tpu.eval.metrics import snr, spectral_convergence
 print(json.dumps({{"sample_shape": list(audio.shape),
                    "sample_rms": float(np.sqrt((audio[0]**2).mean()))}}))
 """)

@@ -93,6 +93,14 @@ def load_audio(
                 return native_io.flac_read(path, start_frame, num_frames)
         except Exception:
             pass
+    if path.lower().endswith((".aac", ".m4a", ".mp4")):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.aac_available():
+                return native_io.aac_read(path, start_frame, num_frames)
+        except Exception:
+            pass
     if path.lower().endswith(".wav"):
         try:
             from jen1_tpu.data import native_io
@@ -158,6 +166,15 @@ def get_duration_sec(path: str) -> float:
 
             if native_io.flac_available():
                 sr, _, frames = native_io.flac_info(path)
+                return frames / sr
+        except Exception:
+            pass
+    if path.lower().endswith((".aac", ".m4a", ".mp4")):
+        try:
+            from jen1_tpu.data import native_io
+
+            if native_io.aac_available():
+                sr, _, frames = native_io.aac_info(path)
                 return frames / sr
         except Exception:
             pass

@@ -31,7 +31,7 @@ import numpy as np
 
 from jen1_tpu.data.audio_io import convert_audio, get_duration_sec, load_audio
 
-AUDIO_EXTS = (".wav", ".mp3", ".flac")
+AUDIO_EXTS = (".wav", ".mp3", ".flac", ".ogg", ".oga", ".aac", ".m4a", ".mp4")
 
 
 class MusicDataset:

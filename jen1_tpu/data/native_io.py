@@ -421,3 +421,132 @@ def wav_read_batch(
     if rc != 0:
         raise IOError(f"jen1_wav_read_batch failed: {rc}")
     return out
+
+
+_AAC_SRC = os.path.join(_REPO_ROOT, "native", "aacio.cpp")
+_AAC_LIB = os.path.join(_LIB_DIR, "libjen1aacio.so")
+_aac_lib: Optional[ctypes.CDLL] = None
+_aac_failed = False
+
+
+def get_aac_lib() -> Optional[ctypes.CDLL]:
+    """aacio shim: AAC/M4A (and anything libavformat demuxes) through the
+    system FFmpeg libraries. Unlike mp3io/oggio this links libavformat/
+    libavcodec/libavutil directly (their struct-heavy API needs the real
+    headers, which this image ships); absent libs make the build or the
+    CDLL load fail and callers fall back gracefully."""
+    global _aac_lib, _aac_failed
+    with _lock:
+        if _aac_lib is not None or _aac_failed:
+            return _aac_lib
+        if not os.path.exists(_AAC_LIB) or os.path.getmtime(
+            _AAC_LIB
+        ) < os.path.getmtime(_AAC_SRC):
+            os.makedirs(_LIB_DIR, exist_ok=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _AAC_LIB,
+                     _AAC_SRC, "-lavformat", "-lavcodec", "-lavutil"],
+                    check=True,
+                    capture_output=True,
+                )
+            except Exception:
+                _aac_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_AAC_LIB)
+        except OSError:
+            _aac_failed = True
+            return None
+        lib.jen1_aac_available.argtypes = []
+        lib.jen1_aac_available.restype = ctypes.c_int
+        lib.jen1_aac_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.jen1_aac_info.restype = ctypes.c_int
+        lib.jen1_aac_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.jen1_aac_read.restype = ctypes.c_int64
+        lib.jen1_aac_write_fixture.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.jen1_aac_write_fixture.restype = ctypes.c_int
+        if lib.jen1_aac_available() != 1:
+            _aac_failed = True
+            return None
+        _aac_lib = lib
+        return _aac_lib
+
+
+def aac_available() -> bool:
+    return get_aac_lib() is not None
+
+
+def aac_info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, channels, num_frames); frames is an EXACT decode count
+    (container duration metadata is unreliable for ADTS). Raises on
+    failure."""
+    lib = get_aac_lib()
+    assert lib is not None, "native aacio unavailable"
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.jen1_aac_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch),
+                           ctypes.byref(frames))
+    if rc != 0:
+        raise IOError(f"jen1_aac_info({path}) failed: {rc}")
+    return sr.value, ch.value, frames.value
+
+
+def aac_read(
+    path: str, start_frame: int = 0, num_frames: Optional[int] = None
+) -> Tuple[np.ndarray, int]:
+    """Decode to (frames, channels) float32; zero-padded past EOF. Windows
+    are sample-exact (sequential decode + skip; AAC containers have no
+    reliable sample-accurate seek index)."""
+    lib = get_aac_lib()
+    assert lib is not None, "native aacio unavailable"
+    sr, ch, total = aac_info(path)
+    if num_frames is None:
+        num_frames = max(total - start_frame, 0)
+    out = np.empty((num_frames, ch), np.float32)
+    rc = lib.jen1_aac_read(
+        path.encode(),
+        ctypes.c_int64(start_frame),
+        ctypes.c_int64(num_frames),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise IOError(f"jen1_aac_read({path}) failed: {rc}")
+    return out, sr
+
+
+def aac_write_fixture(path: str, audio: np.ndarray, sr: int,
+                      bitrate: int = 192_000) -> None:
+    """Encode (frames, ch) float32 via FFmpeg's AAC encoder (.m4a/.mp4
+    boxes or raw ADTS .aac by extension). Test-fixture helper only."""
+    lib = get_aac_lib()
+    assert lib is not None, "native aacio unavailable"
+    audio = np.ascontiguousarray(audio, np.float32)
+    rc = lib.jen1_aac_write_fixture(
+        path.encode(),
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(audio.shape[0]),
+        ctypes.c_int32(audio.shape[1]),
+        ctypes.c_int32(sr),
+        ctypes.c_int32(bitrate),
+    )
+    if rc != 0:
+        raise IOError(f"jen1_aac_write_fixture({path}) failed: {rc}")
