@@ -3,7 +3,7 @@
 Every prior on-chip training number was a 5-20-step bench over random
 tensors. This orchestrates the actual product path end-to-end on the TPU:
 
-  synthetic WAV corpus (native C++ wav decoder reads it back)
+  synthetic mixed-format corpus (WAV+FLAC+M4A; three native decoders read it back)
     -> `python -m jen1_tpu.data.preprocess scan` + `encode` (on-device
        EnCodec encode, batched 1 s chunks)
     -> `python -m jen1_tpu.train.train` at B=96 / 10 s windows / remat /
@@ -45,13 +45,25 @@ def note(msg):
 
 
 def make_corpus(corpus_dir: str, n_files: int, seconds: float, sr: int,
-                channels: int = 2) -> None:
-    """Synthetic music-ish WAVs: per-file chord of sines + AM envelope +
+                channels: int = 2, mixed: bool = True) -> None:
+    """Synthetic music-ish clips: per-file chord of sines + AM envelope +
     filtered noise, distinct seeds — enough structure that windows differ
-    and losses are not degenerate. Written as 16-bit PCM WAV (the corpus is
-    read back by the native C++ wav decoder, data/native_io.py)."""
-    os.makedirs(corpus_dir, exist_ok=True)
+    and losses are not degenerate. Written round-robin as WAV / FLAC / M4A
+    (mixed=True) so preprocessing exercises three native decoders
+    (data/native_io.py: wavio C++, the from-scratch FLAC, aacio/FFmpeg).
+    Layout matches the preprocess CLI's dataset contract:
+    <corpus_dir>/audios/*.{wav,flac,m4a} + <corpus_dir>/metadata/*.json."""
+    audio_dir = os.path.join(corpus_dir, "audios")
+    meta_dir = os.path.join(corpus_dir, "metadata")
+    os.makedirs(audio_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    sys.path.insert(0, REPO)
+    from jen1_tpu.data import native_io
+    from jen1_tpu.data.flac_write import write_flac
+
+    aac_ok = mixed and native_io.aac_available()
     t = np.arange(int(seconds * sr)) / sr
+    kinds = {"wav": 0, "flac": 0, "m4a": 0}
     for i in range(n_files):
         rng = np.random.default_rng(1000 + i)
         freqs = rng.uniform(55, 880, size=3)
@@ -62,15 +74,28 @@ def make_corpus(corpus_dir: str, n_files: int, seconds: float, sr: int,
         noise = rng.normal(0, 0.05, size=t.shape)
         mono = (sig * env + noise) * 0.3
         stereo = np.stack([mono, np.roll(mono, 7)], axis=1)[:, :channels]
-        ints = (np.clip(stereo, -1, 1) * 32767).astype("<i2")
-        with wave.open(os.path.join(corpus_dir, f"clip_{i:04d}.wav"), "wb") as w:
-            w.setnchannels(channels)
-            w.setsampwidth(2)
-            w.setframerate(sr)
-            w.writeframes(ints.tobytes())
-        with open(os.path.join(corpus_dir, f"clip_{i:04d}.json"), "w") as f:
+        clipped = np.clip(stereo, -1, 1).astype(np.float32)
+        ints = (clipped * 32767).astype("<i2")
+        stem = os.path.join(audio_dir, f"clip_{i:04d}")
+        kind = ["wav", "flac", "m4a"][i % 3] if mixed else "wav"
+        if kind == "m4a" and not aac_ok:
+            kind = "wav"
+        if kind == "wav":
+            with wave.open(stem + ".wav", "wb") as w:
+                w.setnchannels(channels)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(ints.tobytes())
+        elif kind == "flac":
+            write_flac(stem + ".flac", ints.astype(np.int32), sr)
+        else:
+            native_io.aac_write_fixture(stem + ".m4a", clipped, sr)
+        kinds[kind] += 1
+        with open(os.path.join(meta_dir, f"clip_{i:04d}.json"), "w") as f:
             json.dump({"prompt": f"synthetic chord pattern {i}"}, f)
-    note(f"corpus: {n_files} x {seconds:.0f}s WAV at {sr} Hz -> {corpus_dir}")
+    note(f"corpus: {n_files} x {seconds:.0f}s at {sr} Hz "
+         f"({kinds['wav']} wav / {kinds['flac']} flac / {kinds['m4a']} m4a) "
+         f"-> {corpus_dir}")
 
 
 def run_sub(cmd, log_path, kill_when=None, env=None):
@@ -142,7 +167,7 @@ def main():
     t_all = time.time()
     # ---- 1. corpus
     t0 = time.time()
-    make_corpus(corpus, n_files, clip_seconds, sr)
+    make_corpus(corpus, n_files, clip_seconds, sr, mixed=not tiny)
     walls["corpus"] = time.time() - t0
 
     # ---- 2. preprocess (scan + on-device encode)
@@ -312,8 +337,7 @@ print(json.dumps({{"sample_shape": list(audio.shape),
         f.write(f"""# Sustained training run through the real pipeline — {dev}
 
 Protocol (this file is written by `benchmarks/train_run_bench.py`):
-synthetic WAV corpus ({n_files} x {clip_seconds:.0f} s, read back by the
-native C++ wav decoder) -> `jen1_tpu.data.preprocess` scan + on-device
+synthetic mixed-format corpus ({n_files} x {clip_seconds:.0f} s, WAV+FLAC+M4A round-robin, read back by three native decoders) -> `jen1_tpu.data.preprocess` scan + on-device
 encode ({n_windows} x {sample_duration:.0f} s latent windows) ->
 `jen1_tpu.train.train` at B={B}, remat, fused AdamW, EMA, eval every
 {eval_interval} steps with best-k orbax checkpoints -> **SIGKILL mid-run**
