@@ -39,14 +39,14 @@ import numpy as np
 
 
 def bench_one(jen1, GenerationService, *, max_batch, n_req, steps, seconds,
-              sampler_mode, use_gdm, rng_impl, output_dtype):
+              sampler_mode, use_gdm, rng_impl, output_dtype, n_completers=2):
     """Warm + load-test one max_batch value; returns a metrics dict."""
     svc = GenerationService(
         jen1, max_batch=max_batch, max_wait_ms=100.0,
         default_seconds=seconds, default_steps=steps,
         max_queue=max(32, 2 * n_req), sampler_mode=sampler_mode,
         default_use_gdm=use_gdm, rng_impl=rng_impl,
-        output_dtype=output_dtype,
+        output_dtype=output_dtype, n_completers=n_completers,
     )
 
     # Warm the max_batch graph with a full batch, then measure one warm
@@ -151,6 +151,7 @@ def main():
     # int16 = the HTTP product configuration (device-side PCM conversion,
     # half the device->host fetch); float32 = the programmatic default.
     output_dtype = os.environ.get("JEN1_SERVE_BENCH_OUTPUT", "int16")
+    n_completers = int(os.environ.get("JEN1_SERVE_BENCH_COMPLETERS", "2"))
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} n_req={n_req} steps={steps} "
@@ -186,7 +187,7 @@ def main():
         bench_one(jen1, GenerationService, max_batch=mb, n_req=n_req,
                   steps=steps, seconds=seconds, sampler_mode=sampler_mode,
                   use_gdm=use_gdm, rng_impl=rng_impl,
-                  output_dtype=output_dtype)
+                  output_dtype=output_dtype, n_completers=n_completers)
         for mb in batches
     ]
 

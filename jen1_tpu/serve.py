@@ -110,6 +110,7 @@ class GenerationService:
         rng_impl: str = "rbg",
         output_dtype: str = "float32",
         pipeline_depth: int = 2,
+        n_completers: int = 2,
     ):
         self.jen1 = jen1
         self.max_batch = int(max_batch)
@@ -180,9 +181,10 @@ class GenerationService:
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="jen1-dispatcher", daemon=True
         )
-        # TWO completer threads: the device->host link serializes mostly,
-        # but two in-flight fetches measured ~1.4x the aggregate bandwidth
-        # of one on the tunneled runtime (19 -> 26 MB/s; see
+        # Completer threads (default 2): the device->host link serializes
+        # mostly, but two in-flight fetches measured ~1.4x the aggregate
+        # bandwidth of one on the tunneled runtime (19 -> 26 MB/s), and the
+        # r5 sweep found no further gain past 2 (see
         # benchmarks/SERVING_TPU.md attribution). Completion order across
         # batches is irrelevant — each request's Event fires independently.
         self._completers = [
@@ -190,7 +192,7 @@ class GenerationService:
                 target=self._complete_loop, name=f"jen1-completer-{i}",
                 daemon=True,
             )
-            for i in range(2)
+            for i in range(max(1, int(n_completers)))
         ]
         self._thread.start()
         for c in self._completers:
