@@ -126,6 +126,30 @@ class TestGenerationService:
         ints = (np.clip(f, -1, 1) * 32767.0).astype(np.int16)
         assert _wav_bytes(ints, 1600) == _wav_bytes(f, 1600)
 
+    def test_n_completers_parallel_fetch(self):
+        """n_completers spawns that many completer threads and concurrent
+        requests complete through them (r5 sweep knob; default stays 2)."""
+        fake = FakeJen1(delay=0.05)
+        svc = GenerationService(fake, max_batch=1, max_wait_ms=5.0,
+                                n_completers=3)
+        try:
+            assert len(svc._completers) == 3
+            results = [None] * 4
+
+            def worker(i):
+                results[i] = svc.submit(f"par {i}", seed=i, timeout=60)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            svc.close()
+        for r in results:
+            assert r is not None and np.isfinite(r).all()
+
     def test_error_reported_not_swallowed(self, service):
         with pytest.raises((RuntimeError, TimeoutError)):
             # seconds produces a latent shorter than the UNet can downsample
