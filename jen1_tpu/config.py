@@ -36,6 +36,14 @@ class DataConfig:
     # dataloader worker, dataset/dataloader.py:108-113).
     latents_dir: Optional[str] = None
     num_workers: int = 0
+    # Host->device dtype for the latent batch. 'float32' (default) ships
+    # latents exactly as stored; 'bfloat16' halves the per-step upload —
+    # the sustained-step bound on bandwidth-constrained hosts (the B=96
+    # batch is 73.7 MB fp32; benchmarks/TRAIN_RUN_TPU.md measured the
+    # 1.58 s steady step to be upload-bound at ~32 MB/s). bf16 latents
+    # round the diffusion TARGETS to 8-bit mantissa; loss curves shift at
+    # the 1e-3 level while the model already computes in bf16.
+    latents_upload_dtype: str = "float32"
 
 
 @dataclass

@@ -252,6 +252,12 @@ def main():
                    help="LoRA merge scale numerator (scale = alpha/rank)")
     p.add_argument("--lora-base-ckpt", default=None,
                    help="frozen base weights: orbax run dir or reference .pth")
+    p.add_argument("--latents-upload-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="host->device dtype for the latent batch; "
+                        "'bfloat16' halves the per-step upload (the "
+                        "sustained-step bound on bandwidth-constrained "
+                        "hosts, TRAIN_RUN_TPU.md)")
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 2-4 into log_dir")
@@ -262,6 +268,8 @@ def main():
         config.dataset_config.latents_dir = args.latents_dir
     if args.dataset_dir:
         config.dataset_config.dataset_dir = args.dataset_dir
+    if args.latents_upload_dtype:
+        config.dataset_config.latents_upload_dtype = args.latents_upload_dtype
     if args.save_dir:
         config.save_dir = args.save_dir
     if args.log_dir:

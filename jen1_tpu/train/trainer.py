@@ -28,6 +28,7 @@ from typing import Any, Dict, Iterable, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from jen1_tpu.conditioning.conditioners import assemble_conditioning
@@ -515,6 +516,15 @@ class UnifiedMultiTaskTrainer:
         assert self.conditioner is not None, "prepare_batch needs a conditioner"
         cond_out = self.conditioner(metadata)
         text_emb, text_mask = cond_out["prompt"]
+        # latents_upload_dtype='bfloat16' halves the host->device batch
+        # upload — the sustained-step bound on bandwidth-constrained hosts
+        # (TRAIN_RUN_TPU.md). Cast on HOST so the wire carries 2 bytes/elem.
+        up = getattr(self.config.dataset_config, "latents_upload_dtype",
+                     "float32")
+        if up == "bfloat16":
+            import ml_dtypes
+
+            latents = np.asarray(latents).astype(ml_dtypes.bfloat16)
         batch = {
             "latents": jnp.asarray(latents),
             "text_emb": text_emb.astype(self.compute_dtype),

@@ -221,6 +221,40 @@ class TestMeshDP:
         assert any("linear1" in p for p in tp_sharded)
 
 
+class TestLatentsUploadDtype:
+    def test_bf16_upload_trains_finite(self):
+        """latents_upload_dtype='bfloat16' ships bf16 latents through
+        prepare_batch and the step still trains to finite loss (halves the
+        host->device batch upload — TRAIN_RUN_TPU.md's sustained-step
+        bound on tunneled hosts)."""
+        cfg, trainer = make_trainer()
+        cfg.dataset_config.latents_upload_dtype = "bfloat16"
+        from jen1_tpu.conditioning.conditioners import (
+            MultiConditioner, T5Conditioner,
+        )
+
+        trainer.conditioner = MultiConditioner({
+            "prompt": T5Conditioner(
+                output_dim=cfg.conditioner_config.cond_dim,
+                t5_model_name="tiny-test",
+                max_length=cfg.model_config.context_embedding_max_length,
+            )
+        })
+        lat = np.random.default_rng(0).normal(size=(3, 48, 8)).astype(
+            np.float32)
+        batch = trainer.prepare_batch(lat, [{"prompt": "x"}] * 3)
+        assert batch["latents"].dtype == jnp.bfloat16
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, m = trainer.train_step(
+            state, batch, jax.random.PRNGKey(1), np.random.default_rng(1))
+        assert np.isfinite(float(m["loss/train"]))
+        # default stays exact fp32
+        cfg2, trainer2 = make_trainer()
+        trainer2.conditioner = trainer.conditioner
+        b2 = trainer2.prepare_batch(lat, [{"prompt": "x"}] * 3)
+        assert b2["latents"].dtype == jnp.float32
+
+
 class TestEvaluate:
     def test_per_task_and_variant_metrics(self, default_trainer):
         """evaluate() reports every task plus BOTH text_guided causal
